@@ -1,0 +1,24 @@
+"""TPU-native glomerular detection & segmentation framework.
+
+A ground-up JAX/XLA/Pallas re-design of the renal-pathology pipeline
+described by jinseikenai/glomeruli_segmentation (see SURVEY.md at repo
+root): NDPI whole-slide ingest -> sliding-window glomerulus detection ->
+cross-window box merging -> level-0 crops -> ESPNet multi-class
+segmentation -> labelme-style polygon export -> WSI stitching and
+confusion-matrix evaluation, plus a SegFormer (GTCS) variant.
+
+Layout
+------
+- :mod:`.models`   ESPNet / Faster R-CNN / SegFormer in Flax (NHWC, bf16-ready)
+- :mod:`.ops`      device ops: cv2-parity resize, preprocessing, NMS, ROI-align
+- :mod:`.parallel` mesh construction and sharded batch execution helpers
+- :mod:`.convert`  torch-free legacy ``.pth`` reader and weight importers
+- :mod:`.wsi`      NDPI/BigTIFF readers (C++ fast path + pure-python fallback)
+- :mod:`.eval`     confusion-matrix metrics (IoU/Dice), boundary extraction
+- :mod:`.data`     dataset statistics, multi-scale augmentation, loaders
+- :mod:`.train`    training loops (optax), checkpointing
+- :mod:`.pipeline` the five WSI pipeline stages
+- :mod:`.cli`      argparse entry points mirroring the reference's public CLIs
+"""
+
+__version__ = "0.1.0"

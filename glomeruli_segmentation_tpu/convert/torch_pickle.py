@@ -1,0 +1,211 @@
+"""Torch-free reader for PyTorch checkpoint files.
+
+The reference ships five ESPNet fold checkpoints saved by torch 1.1
+(``models/espnet_fold1..5.pth`` in jinseikenai/glomeruli_segmentation) in the
+*legacy* serialization format: a stream of pickles followed by raw storage
+bytes.  This module parses both that legacy format and the zipfile format
+used by torch >= 1.6, returning plain numpy arrays — no torch import, so the
+TPU framework has zero torch dependency on its compute path.
+
+Reference behaviour being replicated: ``torch.load`` at
+``module/espnet/test/VisualizeResults_iou.py:272-279`` and
+``module/espnet/train/main.py:360-370``.
+"""
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+import zipfile
+from collections import OrderedDict
+from typing import Any, BinaryIO, Dict
+
+import numpy as np
+
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+# torch storage class name -> numpy dtype
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype("<f4"),
+    "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"),
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("<i1"),
+    "ByteStorage": np.dtype("<u1"),
+    "BoolStorage": np.dtype("?"),
+    "BFloat16Storage": np.dtype("<u2"),  # raw bits; caller may view as ml_dtypes.bfloat16
+}
+
+
+class _StorageType:
+    """Stand-in for ``torch.FloatStorage`` etc. encountered in the pickle."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.dtype = _STORAGE_DTYPES.get(name)
+
+    def __repr__(self):
+        return f"_StorageType({self.name})"
+
+
+class _Storage:
+    """A typed, lazily-filled flat buffer."""
+
+    def __init__(self, key: str, dtype: np.dtype, numel: int | None):
+        self.key = key
+        self.dtype = dtype
+        self.numel = numel
+        self.data: np.ndarray | None = None
+
+
+def _rebuild_tensor(storage: _Storage, storage_offset, size, stride):
+    return _LazyTensor(storage, storage_offset, tuple(size), tuple(stride))
+
+
+def _rebuild_tensor_v2(storage: _Storage, storage_offset, size, stride,
+                       requires_grad=False, backward_hooks=None, metadata=None):
+    return _LazyTensor(storage, storage_offset, tuple(size), tuple(stride))
+
+
+class _LazyTensor:
+    def __init__(self, storage: _Storage, offset: int, size: tuple, stride: tuple):
+        self.storage = storage
+        self.offset = offset
+        self.size = size
+        self.stride = stride
+
+    def materialize(self) -> np.ndarray:
+        buf = self.storage.data
+        if buf is None:
+            raise ValueError(f"storage {self.storage.key} has no data")
+        if not self.size:
+            return buf[self.offset].copy()
+        itemsize = buf.dtype.itemsize
+        arr = np.lib.stride_tricks.as_strided(
+            buf[self.offset:],
+            shape=self.size,
+            strides=tuple(s * itemsize for s in self.stride),
+        )
+        return np.ascontiguousarray(arr)
+
+
+class _Unpickler(pickle.Unpickler):
+    """Unpickler that understands torch persistent ids and rebuild helpers."""
+
+    def __init__(self, file: BinaryIO, storages: Dict[str, _Storage]):
+        super().__init__(file, encoding="latin1")
+        self.storages = storages
+
+    def find_class(self, module: str, name: str):
+        if name in _STORAGE_DTYPES:
+            return _StorageType(name)
+        if module == "torch._utils":
+            if name == "_rebuild_tensor_v2":
+                return _rebuild_tensor_v2
+            if name == "_rebuild_tensor":
+                return _rebuild_tensor
+            if name == "_rebuild_parameter":
+                return lambda data, requires_grad=True, hooks=None: data
+        if module == "collections" and name == "OrderedDict":
+            return OrderedDict
+        if module == "torch" and name == "Size":
+            return tuple
+        if module.startswith("torch"):
+            # Any other torch object (device, dtype markers, ...) -> opaque stub.
+            return _OpaqueStub(module, name)
+        return super().find_class(module, name)
+
+    def persistent_load(self, saved_id):
+        typename = saved_id[0]
+        if isinstance(typename, bytes):
+            typename = typename.decode("ascii")
+        if typename != "storage":
+            raise pickle.UnpicklingError(f"unknown persistent id type: {typename!r}")
+        storage_type, key, _location, numel = saved_id[1:5]
+        if isinstance(key, bytes):
+            key = key.decode("ascii")
+        key = str(key)
+        if key not in self.storages:
+            dtype = storage_type.dtype if isinstance(storage_type, _StorageType) else None
+            if dtype is None:
+                raise pickle.UnpicklingError(f"unsupported storage type {storage_type}")
+            self.storages[key] = _Storage(key, dtype, numel)
+        return self.storages[key]
+
+
+class _OpaqueStub:
+    def __init__(self, module, name):
+        self.module, self.name = module, name
+
+    def __call__(self, *args, **kwargs):
+        return self
+
+    def __repr__(self):
+        return f"<stub {self.module}.{self.name}>"
+
+
+def _materialize(obj: Any) -> Any:
+    if isinstance(obj, _LazyTensor):
+        return obj.materialize()
+    if isinstance(obj, (dict, OrderedDict)):
+        return type(obj)((k, _materialize(v)) for k, v in obj.items())
+    if isinstance(obj, list):
+        return [_materialize(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_materialize(v) for v in obj)
+    return obj
+
+
+def _load_legacy(f: BinaryIO) -> Any:
+    magic = pickle.load(f)
+    if magic != _LEGACY_MAGIC:
+        raise ValueError("not a legacy torch checkpoint (bad magic)")
+    _protocol_version = pickle.load(f)
+    _sys_info = pickle.load(f)
+
+    storages: Dict[str, _Storage] = {}
+    unpickler = _Unpickler(f, storages)
+    result = unpickler.load()
+
+    # Trailing section: the list of storage keys in write order, then for each
+    # key an int64 element count followed by the raw little-endian data.
+    key_order = pickle.load(f)
+    for key in key_order:
+        if isinstance(key, bytes):
+            key = key.decode("ascii")
+        key = str(key)
+        storage = storages[key]
+        (numel,) = struct.unpack("<q", f.read(8))
+        raw = f.read(numel * storage.dtype.itemsize)
+        storage.data = np.frombuffer(raw, dtype=storage.dtype).copy()
+    return _materialize(result)
+
+
+def _load_zip(path_or_file) -> Any:
+    with zipfile.ZipFile(path_or_file) as zf:
+        names = zf.namelist()
+        pkl_name = next(n for n in names if n.endswith("data.pkl"))
+        prefix = pkl_name[: -len("data.pkl")]
+        storages: Dict[str, _Storage] = {}
+        unpickler = _Unpickler(io.BytesIO(zf.read(pkl_name)), storages)
+        result = unpickler.load()
+        for key, storage in storages.items():
+            raw = zf.read(f"{prefix}data/{key}")
+            storage.data = np.frombuffer(raw, dtype=storage.dtype).copy()
+    return _materialize(result)
+
+
+def load_torch_pickle(path: str) -> Any:
+    """Load a ``.pth``/``.pth.tar`` checkpoint as numpy arrays.
+
+    Supports both the legacy (torch<=1.5) streaming format used by the
+    shipped fold checkpoints and the zipfile format of torch>=1.6.
+    """
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:2] == b"PK":
+        return _load_zip(path)
+    with open(path, "rb") as f:
+        return _load_legacy(f)

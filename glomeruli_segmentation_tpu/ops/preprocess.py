@@ -1,0 +1,102 @@
+"""Crop preprocessing for ESPNet inference.
+
+The reference order matters for pixel parity
+(``module/espnet/test/VisualizeResults_iou.py:103-119``):
+
+1. ``cv2.imread`` -> BGR uint8 HWC
+2. subtract per-channel mean (0..255 domain, BGR order)
+3. divide per-channel std
+4. ``cv2.resize`` to (inWidth, inHeight) = (1024, 512), INTER_LINEAR
+5. divide by 255
+6. HWC -> CHW (the reference comment says "convert to RGB" but no channel
+   swap happens — the network consumes BGR)
+
+Two implementations:
+
+- :func:`preprocess_host` — bit-faithful host path using cv2 (parity mode).
+- :func:`preprocess_batch_device` — fused device path.  Because bilinear
+  resampling is affine in pixel values, ``resize((x-m)/s)/255`` equals
+  ``(resize(x)-m)/s/255`` exactly up to fp rounding, so the device path
+  resizes raw pixels first (one gather kernel over the padded batch, sizes
+  passed dynamically) and then normalizes — no per-crop recompilation and
+  no host arithmetic.  Equivalence is covered by tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def preprocess_host(img_bgr: np.ndarray, mean, std, width: int = 1024,
+                    height: int = 512) -> np.ndarray:
+    """Reference-exact preprocessing. Returns (H, W, 3) float32 (NHWC order)."""
+    import cv2
+
+    img = img_bgr.astype(np.float32)
+    for j in range(3):
+        img[:, :, j] -= mean[j]
+    for j in range(3):
+        img[:, :, j] /= std[j]
+    img = cv2.resize(img, (width, height))
+    img /= 255.0
+    return img
+
+
+def _dynamic_linear_gather(img, src_size: jax.Array, out_size: int, axis: int):
+    """Bilinear gather along one axis with dynamic source extent.
+
+    ``img`` is padded along ``axis``; only the first ``src_size`` entries are
+    valid.  OpenCV coordinate mapping: src = (dst + 0.5) * scale - 0.5.
+    """
+    scale = src_size.astype(jnp.float32) / out_size
+    x = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    x = jnp.clip(x, 0.0, src_size.astype(jnp.float32) - 1.0)
+    lo = jnp.floor(x).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, src_size - 1)
+    w = (x - lo).astype(img.dtype)
+    shape = [1] * img.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    a = jnp.take(img, lo, axis=axis)
+    b = jnp.take(img, hi, axis=axis)
+    return a * (1 - w) + b * w
+
+
+def resize_bilinear_dynamic(img: jax.Array, src_h: jax.Array, src_w: jax.Array,
+                            out_h: int, out_w: int) -> jax.Array:
+    """cv2 INTER_LINEAR resize of a padded image with dynamic valid extent."""
+    img = _dynamic_linear_gather(img, src_h, out_h, axis=0)
+    return _dynamic_linear_gather(img, src_w, out_w, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def preprocess_batch_device(padded: jax.Array, heights: jax.Array,
+                            widths: jax.Array, mean_std: jax.Array,
+                            out_h: int = 512, out_w: int = 1024) -> jax.Array:
+    """Fused resize+normalize for a batch of padded BGR uint8 crops.
+
+    Args:
+      padded:   (B, maxH, maxW, 3) uint8, valid region top-left anchored
+      heights:  (B,) int32 valid heights
+      widths:   (B,) int32 valid widths
+      mean_std: (2, 3) float32 — rows are BGR mean and std
+    Returns (B, out_h, out_w, 3) float32 network input.
+    """
+    def one(img, h, w):
+        resized = resize_bilinear_dynamic(img.astype(jnp.float32), h, w,
+                                          out_h, out_w)
+        return (resized - mean_std[0]) / mean_std[1] / 255.0
+
+    return jax.vmap(one)(padded, heights, widths)
+
+
+def postprocess_nearest_host(class_map: np.ndarray, out_h: int,
+                             out_w: int) -> np.ndarray:
+    """cv2 INTER_NEAREST resize of the argmax map back to crop size (host)."""
+    h, w = class_map.shape
+    ys = np.minimum(np.floor(np.arange(out_h) * (h / out_h)).astype(np.intp), h - 1)
+    xs = np.minimum(np.floor(np.arange(out_w) * (w / out_w)).astype(np.intp), w - 1)
+    return class_map[np.ix_(ys, xs)]

@@ -1,0 +1,72 @@
+"""Image resizing with OpenCV-compatible semantics, as jittable JAX ops.
+
+The reference preprocess/postprocess uses ``cv2.resize`` with INTER_LINEAR
+(input resize, ``module/espnet/test/VisualizeResults_iou.py:113-114``) and
+INTER_NEAREST (class-map resize back to crop size, ``:128-129``).  Pixel
+parity with the reference therefore requires OpenCV's exact coordinate
+mapping, which differs from ``jax.image.resize``:
+
+- INTER_LINEAR maps ``src = (dst + 0.5) * scale - 0.5`` with edge clamping
+  (half-pixel centers) — same as jax's "linear" for upsampling but OpenCV
+  clamps negative source coordinates to 0 exactly.
+- INTER_NEAREST maps ``src = floor(dst * scale)`` — *no* half-pixel shift
+  (OpenCV legacy nearest, not INTER_NEAREST_EXACT).
+
+Both are implemented as gathers with static output shape, so they fuse under
+jit and run on TPU without host round-trips.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _linear_weights(src_size: int, dst_size: int):
+    scale = src_size / dst_size
+    x = (np.arange(dst_size, dtype=np.float64) + 0.5) * scale - 0.5
+    x = np.clip(x, 0.0, src_size - 1.0)
+    lo = np.floor(x).astype(np.int32)
+    hi = np.minimum(lo + 1, src_size - 1)
+    w = (x - lo).astype(np.float32)
+    return lo, hi, w
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """cv2.resize(..., interpolation=INTER_LINEAR) for float images.
+
+    ``img`` is HWC or HW; output size is static.
+    """
+    h, w = img.shape[:2]
+    ylo, yhi, wy = _linear_weights(h, out_h)
+    xlo, xhi, wx = _linear_weights(w, out_w)
+    ylo, yhi = jnp.asarray(ylo), jnp.asarray(yhi)
+    xlo, xhi = jnp.asarray(xlo), jnp.asarray(xhi)
+    wy = jnp.asarray(wy)
+    wx = jnp.asarray(wx)
+    if img.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+
+    top = jnp.take(img, ylo, axis=0)
+    bot = jnp.take(img, yhi, axis=0)
+    rows = top * (1.0 - wy) + bot * wy
+    left = jnp.take(rows, xlo, axis=1)
+    right = jnp.take(rows, xhi, axis=1)
+    return left * (1.0 - wx) + right * wx
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """cv2.resize(..., interpolation=INTER_NEAREST): ``src = floor(dst*scale)``."""
+    h, w = img.shape[:2]
+    ys = np.minimum(np.floor(np.arange(out_h) * (h / out_h)).astype(np.int32), h - 1)
+    xs = np.minimum(np.floor(np.arange(out_w) * (w / out_w)).astype(np.int32), w - 1)
+    out = jnp.take(img, jnp.asarray(ys), axis=0)
+    return jnp.take(out, jnp.asarray(xs), axis=1)

@@ -1,0 +1,95 @@
+"""Labelme-compatible JSON/PNG codecs, implemented natively (no labelme dep).
+
+Replicates the behaviours the reference pulls from the ``labelme`` package
+and its small wrappers:
+
+- ``img_arr_to_b64`` / ``img_b64_to_arr`` (labelme.utils, used at
+  ``VisualizeResults_iou.py:179`` and ``eval_wsi_segmentation.py:287``)
+- ``shapes_to_label`` / ``polygons_to_mask``
+  (``module/common/utils/shape.py:8-47``) — ordered label painting so later
+  classes overwrite earlier ones
+- ``lblsave`` palette-PNG writer (``module/common/utils/my_lblsave.py:12-32``)
+"""
+from __future__ import annotations
+
+import base64
+import io
+from typing import Dict, Iterable, List, Mapping, Sequence
+
+import numpy as np
+import PIL.Image
+import PIL.ImageDraw
+
+from ..palette import label_colormap
+
+
+def img_arr_to_b64(img_arr: np.ndarray) -> str:
+    img = PIL.Image.fromarray(img_arr)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+def img_b64_to_arr(img_b64: str) -> np.ndarray:
+    data = base64.b64decode(img_b64)
+    return np.array(PIL.Image.open(io.BytesIO(data)))
+
+
+def polygons_to_mask(img_shape, polygons) -> np.ndarray:
+    mask = PIL.Image.fromarray(np.zeros(img_shape[:2], dtype=np.uint8))
+    xy = [tuple(pt) for pt in polygons]
+    PIL.ImageDraw.Draw(mask).polygon(xy=xy, outline=1, fill=1)
+    return np.array(mask, dtype=bool)
+
+
+def shapes_to_label(img_shape, shapes: Iterable[Mapping],
+                    label_name_to_value: Mapping[str, int],
+                    label_name_list: Sequence[str]) -> np.ndarray:
+    """Paint polygons in ``label_name_list`` order (later names overwrite)."""
+    cls = np.zeros(img_shape[:2], dtype=np.int32)
+    shapes = list(shapes)
+    for label_name in label_name_list:
+        for shape in (s for s in shapes if s["label"] == label_name):
+            mask = polygons_to_mask(img_shape[:2], shape["points"])
+            cls[mask] = label_name_to_value[shape["label"]]
+    return cls
+
+
+def lblsave(filename: str, lbl: np.ndarray, size=None) -> None:
+    """Save a class-id mask as a palette-mode PNG with the VOC colormap."""
+    import os
+
+    if os.path.splitext(filename)[1] not in [".png", ".PNG"]:
+        filename += ".png"
+    if not (lbl.min() >= -1 and lbl.max() < 255):
+        raise ValueError(
+            f"cannot save {filename}: labels outside [-1, 254]"
+        )
+    lbl_pil = PIL.Image.fromarray(lbl.astype(np.uint8), mode="P")
+    if size is not None:
+        if not isinstance(size, tuple):
+            raise AttributeError(f"size is not set properly. given size:{size}")
+        lbl_pil = lbl_pil.resize(size)
+    # labelme colormap: label_colormap(255) scaled to 0..255
+    colormap = label_colormap(255)
+    lbl_pil.putpalette(colormap.flatten())
+    lbl_pil.save(filename)
+
+
+def load_labelme_json(path: str) -> Dict:
+    import json
+    from collections import OrderedDict
+
+    with open(path) as f:
+        return json.load(f, object_pairs_hook=OrderedDict)
+
+
+def labelme_image_array(data: Mapping, json_path: str) -> np.ndarray:
+    """Decode the image referenced by a labelme JSON document."""
+    import os
+
+    if data.get("imageData"):
+        return img_b64_to_arr(data["imageData"])
+    image_path = os.path.join(os.path.dirname(json_path), data["imagePath"])
+    with open(image_path, "rb") as f:
+        return np.array(PIL.Image.open(io.BytesIO(f.read())))

@@ -1,0 +1,34 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual 8-device CPU mesh; real-TPU
+runs use the driver's bench entry points instead.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import jax
+import pytest
+
+# Parity with the fp32 torch reference requires full-precision convolutions:
+# XLA's default matmul precision truncates operands to bf16-level accuracy,
+# and the shipped checkpoints' tiny BN running variances (~1e-6) amplify that
+# error ~30x per normalization.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_models_dir():
+    d = REFERENCE_ROOT / "models"
+    if not d.is_dir():
+        pytest.skip("reference checkpoints not available")
+    return d

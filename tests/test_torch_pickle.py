@@ -1,0 +1,59 @@
+"""Tests for the torch-free checkpoint reader."""
+import numpy as np
+import pytest
+
+from glomeruli_segmentation_tpu.convert import load_torch_pickle
+
+torch = pytest.importorskip("torch")
+
+
+def test_roundtrip_modern_zip(tmp_path):
+    sd = {
+        "a.weight": torch.randn(4, 3, 3, 3),
+        "a.bias": torch.arange(5, dtype=torch.long),
+        "b.scalar": torch.tensor(3, dtype=torch.long),
+        "c.half": torch.randn(2, 2).half(),
+    }
+    p = tmp_path / "modern.pth"
+    torch.save(sd, p)
+    loaded = load_torch_pickle(str(p))
+    assert set(loaded) == set(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(loaded[k], v.numpy())
+
+
+def test_roundtrip_legacy_format(tmp_path):
+    sd = {
+        "w": torch.randn(3, 7),
+        "n": torch.tensor(42, dtype=torch.long),
+    }
+    p = tmp_path / "legacy.pth"
+    torch.save(sd, p, _use_new_zipfile_serialization=False)
+    loaded = load_torch_pickle(str(p))
+    np.testing.assert_array_equal(loaded["w"], sd["w"].numpy())
+    assert int(loaded["n"]) == 42
+
+
+def test_noncontiguous_stride(tmp_path):
+    base = torch.randn(6, 8)
+    sd = {"t": base.t()}  # transposed view -> non-default strides
+    p = tmp_path / "strided.pth"
+    torch.save(sd, p, _use_new_zipfile_serialization=False)
+    loaded = load_torch_pickle(str(p))
+    np.testing.assert_array_equal(loaded["t"], base.t().numpy())
+
+
+def test_reference_fold_checkpoints(reference_models_dir):
+    for fold in range(1, 6):
+        sd = load_torch_pickle(str(reference_models_dir / f"espnet_fold{fold}.pth"))
+        # 5-class, p=2, q=8 full encoder+decoder (SURVEY.md §2.1)
+        assert sd["encoder.classifier.conv.weight"].shape == (5, 256, 1, 1)
+        assert sd["classifier.weight"].shape == (5, 5, 2, 2)
+        assert sd["encoder.level2.1.c1.conv.weight"].shape == (12, 64, 1, 1)
+        assert sd["encoder.level3.7.c1.conv.weight"].shape == (25, 128, 1, 1)
+        # cross-check against torch's own loader
+        ref = torch.load(str(reference_models_dir / f"espnet_fold{fold}.pth"),
+                         map_location="cpu", weights_only=False)
+        assert set(sd) == set(ref)
+        for k in sd:
+            np.testing.assert_array_equal(np.asarray(sd[k]), ref[k].numpy())
