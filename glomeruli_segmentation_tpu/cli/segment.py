@@ -39,6 +39,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--colored", action="store_true")
     parser.add_argument("--overlay", action="store_true")
     parser.add_argument("--classes", default=5, type=int)
+    parser.add_argument("--json_image_data", default="org",
+                        choices=["org", "classmap"],
+                        help="'org' embeds the original crop in the labelme "
+                             "JSON (VisualizeResults_iou.py behaviour); "
+                             "'classmap' embeds the relabeled class map the "
+                             "WSI evaluator expects "
+                             "(VisualizeResults_iou_pixel.py behaviour)")
     # TPU-native extras
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument("--fast", action="store_true",

@@ -262,6 +262,15 @@ def _emit_crop_outputs(args, segmenter, iou_eval_val, dataset_d, summary_acc,
     if args.cityFormat:
         class_map = relabel_to_cityscapes(class_map.astype(np.uint8))
 
+    # What goes into the labelme JSON's imageData: the shipped
+    # VisualizeResults_iou.py stores the original crop ("org"), but the WSI
+    # evaluator decodes imageData as the cityscapes-relabeled class map —
+    # the behaviour of the missing VisualizeResults_iou_pixel.py
+    # (eval_wsi_segmentation.py:287,294-297; VisualizeResults_iou.py:178-179).
+    json_image = (class_map.astype(np.uint8)
+                  if getattr(args, "json_image_data", "org") == "classmap"
+                  else img_orig)
+
     boundary_lines = bound2line(class_map, max_classes=4)
     shapes = []
     for idx, label in PRED_LABEL_IDX.items():
@@ -278,7 +287,7 @@ def _emit_crop_outputs(args, segmenter, iou_eval_val, dataset_d, summary_acc,
         "imagePath": name,
         "flags": {},
         "fillColor": [0, 0, 0, 255],
-        "imageData": img_arr_to_b64(img_orig),
+        "imageData": img_arr_to_b64(json_image),
     }
     with open(os.path.join(output_dir, name.replace(args.img_extn, "json")),
               "w") as out_json:
