@@ -1,0 +1,106 @@
+"""Benchmark: ESPNet crop-segmentation throughput vs the torch CPU reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline unit is crops/sec — one "crop" is a full 512x1024 ESPNet
+forward + argmax, the hot loop of the reference pipeline
+(``module/espnet/test/VisualizeResults_iou.py:100-129``).  ``vs_baseline``
+is measured against the torch-CPU reference model run on this same host
+(the reference ships no numbers — BASELINE.md), falling back to a recorded
+constant when torch or the reference tree is unavailable.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = 8
+H, W = 512, 1024
+WARMUP = 2
+ITERS = 8
+
+# torch-CPU reference throughput measured on the dev host (crops/sec);
+# used only when the live baseline measurement is unavailable.
+FALLBACK_BASELINE_CROPS_PER_SEC = 0.55
+
+
+def bench_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from glomeruli_segmentation_tpu.models.espnet import ESPNet
+
+    model = ESPNet(classes=5, p=2, q=8)
+    rng = jax.random.key(0)
+    x = jax.random.uniform(rng, (BATCH, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.key(1), x[:1])
+    # fast path: bf16 compute, fp32 params
+    variables = jax.tree.map(lambda a: jnp.asarray(a), variables)
+
+    @jax.jit
+    def forward(v, batch):
+        logits = model.apply(v, batch.astype(jnp.bfloat16))
+        return jnp.argmax(logits, axis=-1)
+
+    out = forward(variables, x)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP):
+        jax.block_until_ready(forward(variables, x))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def bench_torch_reference() -> float | None:
+    ref_dir = "/root/reference/module/espnet/train"
+    if not os.path.isdir(ref_dir):
+        return None
+    try:
+        import numpy as np
+        import torch
+    except ImportError:
+        return None
+    sys.path.insert(0, ref_dir)
+    try:
+        import Model as RefNet
+    finally:
+        sys.path.pop(0)
+    model = RefNet.ESPNet(classes=5, p=2, q=8)
+    model.eval()
+    x = torch.randn(1, 3, H, W)
+    iters = 3
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = model(x)
+            _ = out.max(1)[1].byte().numpy()
+        dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def main():
+    ours = bench_ours()
+    baseline = None
+    try:
+        baseline = bench_torch_reference()
+    except Exception:
+        baseline = None
+    if baseline is None:
+        baseline = FALLBACK_BASELINE_CROPS_PER_SEC
+    print(json.dumps({
+        "metric": "espnet_crop_segmentation_throughput",
+        "value": round(ours, 3),
+        "unit": "crops/sec",
+        "vs_baseline": round(ours / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

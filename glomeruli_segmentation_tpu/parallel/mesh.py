@@ -1,0 +1,47 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference is single-GPU (SURVEY.md §2.11); the TPU-native design shards
+patch/crop batches across chips (data axis) with replicated parameters and
+psum'd metric reductions over ICI.  A model axis is kept in the mesh shape
+so tensor-parallel layouts remain expressible, though the ~360K-param ESPNet
+never needs it.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data", "model"),
+              model_parallelism: int = 1) -> Mesh:
+    """1-D data mesh by default; ``model_parallelism > 1`` splits a model axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallelism == 0
+    arr = np.asarray(devices).reshape(n // model_parallelism,
+                                      model_parallelism)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a host batch with the leading axis sharded over 'data'."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
