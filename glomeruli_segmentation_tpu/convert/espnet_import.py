@@ -190,6 +190,90 @@ def load_espnet_variables(path: str) -> Dict[str, Any]:
     return state_dict_to_variables(obj)
 
 
+def _inv_conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+def _inv_convT(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def _export_bn(out, prefix: str, p, s):
+    out[prefix + "weight"] = np.asarray(p["scale"], np.float32)
+    out[prefix + "bias"] = np.asarray(p["bias"], np.float32)
+    out[prefix + "running_mean"] = np.asarray(s["mean"], np.float32)
+    out[prefix + "running_var"] = np.asarray(s["var"], np.float32)
+    out[prefix + "num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _export_cbr(out, prefix: str, p, s):
+    out[prefix + "conv.weight"] = _inv_conv(p["c"]["conv"]["kernel"])
+    _export_bn(out, prefix + "bn.", p["norm"]["bn"], s["norm"]["bn"])
+    out[prefix + "act.weight"] = np.asarray(p["act"]["alpha"], np.float32)
+
+
+def _export_br(out, prefix: str, p, s):
+    _export_bn(out, prefix + "bn.", p["norm"]["bn"], s["norm"]["bn"])
+    out[prefix + "act.weight"] = np.asarray(p["act"]["alpha"], np.float32)
+
+
+def _export_esp(out, prefix: str, p, s, downsample: bool):
+    for sub in ("c1", "d1", "d2", "d4", "d8", "d16"):
+        out[prefix + sub + ".conv.weight"] = _inv_conv(p[sub]["conv"]["kernel"])
+    if downsample:
+        _export_bn(out, prefix + "bn.", p["norm"]["bn"], s["norm"]["bn"])
+        out[prefix + "act.weight"] = np.asarray(p["act"]["alpha"], np.float32)
+    else:
+        _export_br(out, prefix + "bn.", p["br"], s["br"])
+
+
+def variables_to_state_dict(variables: Mapping) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`state_dict_to_variables`: flax variables -> torch
+    keys, so trained models export to the reference ``.pth`` layout."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    has_decoder = "encoder" in params
+    out: Dict[str, np.ndarray] = {}
+
+    def export_encoder(p, s, prefix: str):
+        _export_cbr(out, prefix + "level1.", p["level1"], s["level1"])
+        _export_br(out, prefix + "b1.", p["b1"], s["b1"])
+        _export_esp(out, prefix + "level2_0.", p["down2"], s["down2"], True)
+        i = 0
+        while f"level2_{i}" in p:
+            _export_esp(out, f"{prefix}level2.{i}.", p[f"level2_{i}"],
+                        s[f"level2_{i}"], False)
+            i += 1
+        _export_br(out, prefix + "b2.", p["b2"], s["b2"])
+        _export_esp(out, prefix + "level3_0.", p["down3"], s["down3"], True)
+        i = 0
+        while f"level3_{i}" in p:
+            _export_esp(out, f"{prefix}level3.{i}.", p[f"level3_{i}"],
+                        s[f"level3_{i}"], False)
+            i += 1
+        _export_br(out, prefix + "b3.", p["b3"], s["b3"])
+        out[prefix + "classifier.conv.weight"] = _inv_conv(
+            p["classifier"]["conv"]["kernel"])
+
+    if has_decoder:
+        export_encoder(params["encoder"], stats["encoder"], "encoder.")
+        out["level3_C.conv.weight"] = _inv_conv(
+            params["level3_C"]["conv"]["kernel"])
+        _export_bn(out, "br.", params["br"], stats["br"])
+        _export_cbr(out, "conv.", params["conv"], stats["conv"])
+        out["up_l3.0.weight"] = _inv_convT(params["up_l3"]["kernel"])
+        _export_br(out, "combine_l2_l3.0.", params["combine_l2_l3_br"],
+                   stats["combine_l2_l3_br"])
+        _export_cbr(out, "combine_l2_l3.1.", params["combine_l2_l3_cbr"],
+                    stats["combine_l2_l3_cbr"])
+        out["up_l2.0.weight"] = _inv_convT(params["up_l2"]["kernel"])
+        _export_br(out, "up_l2.1.", params["up_l2_br"], stats["up_l2_br"])
+        out["classifier.weight"] = _inv_convT(params["classifier"]["kernel"])
+    else:
+        export_encoder(params, stats, "")
+    return out
+
+
 def infer_architecture(state_dict: Mapping[str, np.ndarray]):
     """Infer (classes, p, q, decoder) from checkpoint keys/shapes."""
     has_decoder = any(k.startswith("encoder.") for k in state_dict)

@@ -197,6 +197,118 @@ def _load_zip(path_or_file) -> Any:
     return _materialize(result)
 
 
+class _TensorPlaceholder:
+    """Pickled as torch._utils._rebuild_tensor_v2(...) so torch.load works."""
+
+    def __init__(self, key: str, shape, stride):
+        self.key = key
+        self.shape = tuple(shape)
+        self.stride = tuple(stride)
+
+
+_SAVE_DTYPES = {
+    np.dtype("float32"): "FloatStorage",
+    np.dtype("float64"): "DoubleStorage",
+    np.dtype("float16"): "HalfStorage",
+    np.dtype("int64"): "LongStorage",
+    np.dtype("int32"): "IntStorage",
+    np.dtype("int16"): "ShortStorage",
+    np.dtype("int8"): "CharStorage",
+    np.dtype("uint8"): "ByteStorage",
+    np.dtype("bool"): "BoolStorage",
+}
+
+
+class _StorageRefForSave:
+    """Marker carrying the pickled persistent-id payload for one storage."""
+
+    def __init__(self, storage_class, key: str, numel: int):
+        self.storage_class = storage_class
+        self.key = key
+        self.numel = numel
+
+
+class _RebuildProxy:
+    """Pickles as ``torch._utils._rebuild_tensor_v2(storage, 0, size,
+    stride, False, None)`` so stock ``torch.load`` reconstructs a tensor."""
+
+    def __init__(self, rebuild_fn, storage_ref, size, stride):
+        self.rebuild_fn = rebuild_fn
+        self.storage_ref = storage_ref
+        self.size = size
+        self.stride = stride
+
+    def __reduce__(self):
+        return (self.rebuild_fn, (self.storage_ref, 0, self.size,
+                                  self.stride, False, None))
+
+
+class _SavePickler(pickle.Pickler):
+    def persistent_id(self, obj):
+        if isinstance(obj, _StorageRefForSave):
+            return ("storage", obj.storage_class, obj.key, "cpu", obj.numel,
+                    None)
+        return None
+
+
+def save_torch_legacy(obj: Any, path: str) -> None:
+    """Write ``obj`` (dicts/lists of numpy arrays and scalars) as a legacy
+    torch checkpoint loadable with stock ``torch.load`` — used to export
+    trained models in the reference's ``model_{epoch}.pth`` format
+    (``main.py:426-427``).  Requires torch importable at save time (for the
+    global names embedded in the pickle); the baked-in CPU torch suffices.
+    """
+    import torch
+    import torch._utils
+
+    rebuild_fn = torch._utils._rebuild_tensor_v2
+    storages: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    counter = [0]
+
+    def convert(o):
+        if isinstance(o, np.ndarray):
+            key = str(counter[0])
+            counter[0] += 1
+            arr = np.ascontiguousarray(o)
+            storages[key] = arr
+            storage_name = _SAVE_DTYPES.get(arr.dtype)
+            if storage_name is None:
+                raise TypeError(f"unsupported dtype {arr.dtype}")
+            ref = _StorageRefForSave(getattr(torch, storage_name), key,
+                                     arr.size)
+            if arr.ndim == 0:
+                size, stride = (), ()
+            else:
+                size = arr.shape
+                stride = tuple(s // arr.itemsize for s in arr.strides)
+            return _RebuildProxy(rebuild_fn, ref, size, stride)
+        if isinstance(o, (dict, OrderedDict)):
+            return type(o)((k, convert(v)) for k, v in o.items())
+        if isinstance(o, list):
+            return [convert(v) for v in o]
+        if isinstance(o, tuple):
+            return tuple(convert(v) for v in o)
+        if isinstance(o, (np.integer,)):
+            return int(o)
+        if isinstance(o, (np.floating,)):
+            return float(o)
+        return o
+
+    converted = convert(obj)
+    with open(path, "wb") as f:
+        pickle.dump(_LEGACY_MAGIC, f, protocol=2)
+        pickle.dump(1001, f, protocol=2)
+        pickle.dump({"protocol_version": 1001, "little_endian": True,
+                     "type_sizes": {"short": 2, "int": 4, "long": 4}}, f,
+                    protocol=2)
+        pickler = _SavePickler(f, protocol=2)
+        pickler.dump(converted)
+        pickle.dump(list(storages.keys()), f, protocol=2)
+        for key, arr in storages.items():
+            f.write(struct.pack("<q", arr.size))
+            f.write(arr.tobytes())
+
+
 def load_torch_pickle(path: str) -> Any:
     """Load a ``.pth``/``.pth.tar`` checkpoint as numpy arrays.
 

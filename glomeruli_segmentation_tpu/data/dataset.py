@@ -1,0 +1,79 @@
+"""Host-side dataset batching for training.
+
+Equivalent of the reference's ``MyDataset`` + torch ``DataLoader`` workers
+(``module/espnet/train/DataSet.py``, ``main.py:331-353``): decodes
+image/label pairs with cv2/PIL, applies the transform pipeline, and yields
+stacked NHWC batches.  Decoding runs in a thread pool (cv2 releases the
+GIL), keeping the accelerator fed.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+from PIL import Image
+
+
+class SegmentationDataset:
+    def __init__(self, im_list: Sequence[str], annot_list: Sequence[str],
+                 transform=None):
+        assert len(im_list) == len(annot_list)
+        self.im_list = list(im_list)
+        self.annot_list = list(annot_list)
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.im_list)
+
+    def get(self, idx: int, rng: np.random.Generator):
+        image = cv2.imread(self.im_list[idx])
+        label = np.asarray(Image.open(self.annot_list[idx]))
+        if self.transform is not None:
+            image, label = self.transform(rng, image, label)
+        return image, label
+
+
+class DataLoader:
+    """Shuffled, threaded batch iterator over a SegmentationDataset."""
+
+    def __init__(self, dataset: SegmentationDataset, batch_size: int,
+                 shuffle: bool = True, num_workers: int = 4,
+                 seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+
+        def load(idx_seed):
+            idx, seed = idx_seed
+            return self.dataset.get(idx, np.random.default_rng(seed))
+
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, n, self.batch_size):
+                chunk = order[start: start + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    break
+                seeds = rng.integers(0, 2**63, size=len(chunk))
+                pairs = list(pool.map(load, zip(chunk, seeds)))
+                images = np.stack([p[0] for p in pairs])
+                labels = np.stack([p[1] for p in pairs])
+                yield images, labels

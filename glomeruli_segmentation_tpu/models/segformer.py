@@ -1,0 +1,192 @@
+"""SegFormer (MiT encoder + all-MLP decode head) in Flax, NHWC.
+
+TPU-native rebuild of the HuggingFace ``SegformerForSemanticSegmentation``
+the reference's GTCS variant fine-tunes (``module/SegFormer/train/train.py:
+211-212``, default ``nvidia/mit-b0``).  Architecture follows the SegFormer
+paper: overlapped patch embeddings, efficient attention with spatial
+reduction, Mix-FFN with a depthwise 3x3, stage layer norms, and a decode
+head that projects every stage to a common width, upsamples to 1/4 and
+fuses with a 1x1 conv + BN.  Logits come out at 1/4 input resolution (the
+caller upsamples to label size, ``train.py:46-52``).
+
+Weight import from an HF checkpoint state dict is in
+:mod:`..convert.segformer_import`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class SegformerConfig:
+    num_labels: int = 5
+    hidden_sizes: Tuple[int, ...] = (32, 64, 160, 256)
+    depths: Tuple[int, ...] = (2, 2, 2, 2)
+    num_attention_heads: Tuple[int, ...] = (1, 2, 5, 8)
+    sr_ratios: Tuple[int, ...] = (8, 4, 2, 1)
+    patch_sizes: Tuple[int, ...] = (7, 3, 3, 3)
+    strides: Tuple[int, ...] = (4, 2, 2, 2)
+    mlp_ratio: int = 4
+    decoder_hidden_size: int = 256
+    layer_norm_eps: float = 1e-6
+
+
+class OverlapPatchEmbed(nn.Module):
+    dim: int
+    patch_size: int
+    stride: int
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch_size // 2
+        x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), name="proj")(x)
+        n, h, w, c = x.shape
+        x = nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        return x, h, w
+
+
+class EfficientAttention(nn.Module):
+    dim: int
+    heads: int
+    sr_ratio: int
+    eps: float
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int):
+        n, _, c = x.shape
+        head_dim = c // self.heads
+        q = nn.Dense(c, name="q")(x)
+        if self.sr_ratio > 1:
+            kv_in = x.reshape(n, h, w, c)
+            kv_in = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
+                            strides=(self.sr_ratio, self.sr_ratio),
+                            name="sr")(kv_in)
+            kv_in = kv_in.reshape(n, -1, c)
+            kv_in = nn.LayerNorm(epsilon=self.eps, name="sr_norm")(kv_in)
+        else:
+            kv_in = x
+        k = nn.Dense(c, name="k")(kv_in)
+        v = nn.Dense(c, name="v")(kv_in)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads,
+                             head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("nhqd,nhkd->nhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, x.dtype))
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, -1, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int):
+        n, _, c = x.shape
+        x = nn.Dense(self.hidden, name="dense1")(x)
+        x = x.reshape(n, h, w, self.hidden)
+        x = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=self.hidden, name="dwconv")(x)
+        x = x.reshape(n, -1, self.hidden)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, name="dense2")(x)
+
+
+class SegformerBlock(nn.Module):
+    dim: int
+    heads: int
+    sr_ratio: int
+    mlp_ratio: int
+    eps: float
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int):
+        y = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        x = x + EfficientAttention(self.dim, self.heads, self.sr_ratio,
+                                   self.eps, name="attn")(y, h, w)
+        y = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
+        x = x + MixFFN(self.dim, self.dim * self.mlp_ratio,
+                       name="mlp")(y, h, w)
+        return x
+
+
+class MiTEncoder(nn.Module):
+    config: SegformerConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        feats = []
+        for i in range(len(cfg.hidden_sizes)):
+            x, h, w = OverlapPatchEmbed(cfg.hidden_sizes[i],
+                                        cfg.patch_sizes[i], cfg.strides[i],
+                                        cfg.layer_norm_eps,
+                                        name=f"patch_embed{i}")(x)
+            n = x.shape[0]
+            x = x.reshape(n, h * w, cfg.hidden_sizes[i])
+            for j in range(cfg.depths[i]):
+                x = SegformerBlock(cfg.hidden_sizes[i],
+                                   cfg.num_attention_heads[i],
+                                   cfg.sr_ratios[i], cfg.mlp_ratio,
+                                   cfg.layer_norm_eps,
+                                   name=f"block{i}_{j}")(x, h, w)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name=f"norm{i}")(x)
+            x = x.reshape(n, h, w, cfg.hidden_sizes[i])
+            feats.append(x)
+        return feats
+
+
+class SegformerHead(nn.Module):
+    config: SegformerConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cfg = self.config
+        n, h4, w4, _ = feats[0].shape
+        projected = []
+        for i, f in enumerate(feats):
+            p = nn.Dense(cfg.decoder_hidden_size, name=f"linear_c{i}")(f)
+            if f.shape[1] != h4:
+                p = jax.image.resize(p, (n, h4, w4, cfg.decoder_hidden_size),
+                                     method="bilinear")
+            projected.append(p)
+        x = jnp.concatenate(projected[::-1], axis=-1)
+        x = nn.Conv(cfg.decoder_hidden_size, (1, 1), use_bias=False,
+                    name="linear_fuse")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn")(x)
+        x = nn.relu(x)
+        return nn.Conv(cfg.num_labels, (1, 1), name="classifier")(x)
+
+
+class Segformer(nn.Module):
+    """Full model; logits at 1/4 input resolution (HF contract)."""
+
+    config: SegformerConfig = SegformerConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = MiTEncoder(self.config, name="encoder")(x)
+        return SegformerHead(self.config, name="head")(feats, train)
+
+
+def upsample_logits(logits: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear upsample to label size, align_corners=False (the torch
+    ``F.interpolate`` call at ``SegFormer/train/train.py:46-52``)."""
+    from ..ops.resize import resize_bilinear
+
+    return jax.vmap(lambda im: resize_bilinear(im, out_h, out_w))(logits)

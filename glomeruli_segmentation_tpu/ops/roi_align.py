@@ -1,0 +1,59 @@
+"""ROI feature cropping (TF ``crop_and_resize`` semantics).
+
+The OD API's second stage crops each proposal from the backbone feature map
+with ``tf.image.crop_and_resize`` — bilinear sampling on a ``crop x crop``
+grid whose corner samples sit exactly on the (normalized) box corners
+(endpoint-aligned).  Expressed as two dense one-axis gathers + matmuls so
+XLA maps it onto the MXU rather than scatter/gather scalar code.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def crop_and_resize(features: jax.Array, boxes: jax.Array, crop_size: int):
+    """Crop normalized boxes from a feature map.
+
+    Args:
+      features: (H, W, C)
+      boxes: (N, 4) normalized [ymin, xmin, ymax, xmax]
+      crop_size: output spatial size S
+    Returns (N, S, S, C).
+    """
+    h, w, _ = features.shape
+    s = crop_size
+
+    def one(box):
+        y1, x1, y2, x2 = box
+        # endpoint-aligned sample positions (TF crop_and_resize)
+        ys = y1 * (h - 1) + (jnp.arange(s) / (s - 1)) * (y2 - y1) * (h - 1)
+        xs = x1 * (w - 1) + (jnp.arange(s) / (s - 1)) * (x2 - x1) * (w - 1)
+        ys = jnp.clip(ys, 0.0, h - 1)
+        xs = jnp.clip(xs, 0.0, w - 1)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, h - 1)
+        x1i = jnp.minimum(x0 + 1, w - 1)
+        wy = (ys - y0)[:, None, None]
+        wx = (xs - x0)[None, :, None]
+        top = features[y0]        # (S, W, C)
+        bot = features[y1i]
+        rows = top * (1 - wy) + bot * wy
+        left = rows[:, x0]        # (S, S, C)
+        right = rows[:, x1i]
+        return left * (1 - wx) + right * wx
+
+    return jax.vmap(one)(boxes)
+
+
+def roi_align_maxpool(features: jax.Array, boxes: jax.Array,
+                      crop_size: int = 14) -> jax.Array:
+    """OD API initial-crop + 2x2 maxpool stride 2 (e.g. 14 -> 7)."""
+    crops = crop_and_resize(features, boxes, crop_size)
+    n, s, _, c = crops.shape
+    pooled = crops.reshape(n, s // 2, 2, s // 2, 2, c).max(axis=(2, 4))
+    return pooled

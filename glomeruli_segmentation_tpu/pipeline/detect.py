@@ -1,0 +1,314 @@
+"""Sliding-window glomerulus detection over whole slides.
+
+Replicates ``module/faster-rcnn/detect_glomus_test.py``: per slide, choose
+the pyramid level with objective/downsample <= 5x (``:254-261``), slide a
+``STD_SIZE``-micrometre window with ``OVERLAP_RATIO`` (``:286-304``), run
+the detector on each window, and append CSV rows in level-0 pixel
+coordinates (``:306-326``) plus a per-slide timing log (``:152-158``).
+
+TPU-native difference: windows are **batched** — the reference feeds the TF
+session one window at a time; here a fixed-size batch of windows is staged
+to the device per forward, with one XLA compilation per window geometry.
+The detector is a pluggable backend so tests can substitute a synthetic
+one; :class:`JaxDetectorBackend` wraps :class:`..models.faster_rcnn.FasterRCNN`.
+"""
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import time
+from typing import Callable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .. import wsi
+from ..utils.glomus_handler import GlomusHandler
+from ..utils.target_list import read_target_list
+
+NDPI_EXT = [".ndpi", ".tiff", ".tif", ".svs"]
+PNG_EXT = [".PNG", ".png"]
+
+
+class DetectorBackend:
+    """Protocol: batched window detection.
+
+    ``detect_batch(images)`` takes (B, H, W, 3) uint8 RGB windows and
+    returns numpy ``(boxes, scores, classes, num)`` with boxes normalized
+    ``[ymin, xmin, ymax, xmax]`` sorted by descending score per window —
+    the frozen-graph output contract (detect_glomus_test.py:349-368).
+    """
+
+    batch_size: int = 8
+
+    def detect_batch(self, images: np.ndarray):
+        raise NotImplementedError
+
+
+class JaxDetectorBackend(DetectorBackend):
+    """FasterRCNN-based backend; one jitted program per window geometry."""
+
+    def __init__(self, variables, config=None, batch_size: int = 8,
+                 score_threshold: float = 0.0):
+        from ..models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+
+        self.base_config = config or FasterRCNNConfig()
+        self.variables = variables
+        self.batch_size = batch_size
+        self.score_threshold = score_threshold
+        self._compiled = {}
+
+    def _get_fn(self, h: int, w: int):
+        import dataclasses
+
+        import jax
+
+        from ..models.faster_rcnn import FasterRCNN, build_anchors
+
+        key = (h, w)
+        if key not in self._compiled:
+            cfg = dataclasses.replace(self.base_config, image_size=(h, w))
+            model = FasterRCNN(cfg)
+            anchors = build_anchors(cfg)
+
+            @jax.jit
+            def fn(variables, images):
+                return model.apply(variables, images.astype(np.float32),
+                                   anchors, method=FasterRCNN.detect)
+
+            self._compiled[key] = fn
+        return self._compiled[key]
+
+    def detect_batch(self, images: np.ndarray):
+        fn = self._get_fn(images.shape[1], images.shape[2])
+        out = fn(self.variables, images)
+        return (np.asarray(out["detection_boxes"]),
+                np.asarray(out["detection_scores"]),
+                np.asarray(out["detection_classes"]),
+                np.asarray(out["num_detections"]))
+
+
+def threshold_boxes(boxes: np.ndarray, scores: np.ndarray, window_x: int,
+                    window_y: int, thresh: float) -> List[List]:
+    """Normalized boxes -> thresholded window-pixel boxes
+    (detect_glomus_test.py:354-368; scores are sorted descending)."""
+    count = int(np.sum(scores >= thresh))
+    out = []
+    for i in range(count):
+        ymin, xmin, ymax, xmax = boxes[i]
+        out.append([int(window_x * xmin), int(window_y * ymin),
+                    int(window_x * xmax), int(window_y * ymax),
+                    float(scores[i])])
+    return out
+
+
+class GlomusDetector(GlomusHandler):
+    """Whole-slide sliding-window detection runner."""
+
+    def __init__(self, data_category: str, target_list: str, data_dir: str,
+                 output_dir: str, output_file_ext: str,
+                 window_size: Optional[int], overlap_ratio: Optional[float],
+                 conf_threshold: float, batch_size: int = 8):
+        self.data_category = data_category
+        self.set_type(data_category)
+        if window_size is None or window_size == "":
+            self.STD_SIZE = 500
+            self.OVERLAP_RATIO = 0.5
+        else:
+            self.STD_SIZE = window_size
+            self.OVERLAP_RATIO = overlap_ratio
+        self.CONF_THRESH = conf_threshold
+        self.batch_size = batch_size
+        self.staining_dir = GlomusHandler.get_staining_type(data_category)
+        self.target_list = target_list
+        self.data_dir = data_dir
+        self.output_root_dir = output_dir
+        os.makedirs(self.output_root_dir, exist_ok=True)
+        self.output_file_path = os.path.join(
+            self.output_root_dir, self.TYPE + output_file_ext + ".csv")
+        self.log_file = os.path.join(
+            self.output_root_dir, self.TYPE + output_file_ext + "_log.csv")
+        # per-slide metadata
+        self.org_slide_width = 0
+        self.org_slide_height = 0
+        self.org_slide_objective_power = 0.0
+        self.slide_downsample = 0.0
+        self.mpp_x = 0.0
+        self.mpp_y = 0.0
+
+    # ---------------- geometry ----------------
+    def calc_window_size(self):
+        """µm window -> px sizes + grid counts (detect_glomus_test.py:286-304)."""
+        window_x_org = float(self.STD_SIZE) / self.mpp_x
+        window_y_org = float(self.STD_SIZE) / self.mpp_y
+        x_split_times = int(math.ceil(
+            self.org_slide_width / window_x_org / (1.0 - self.OVERLAP_RATIO)))
+        y_split_times = int(math.ceil(
+            self.org_slide_height / window_y_org / (1.0 - self.OVERLAP_RATIO)))
+        window_x = int(math.ceil(window_x_org / self.slide_downsample))
+        window_y = int(math.ceil(window_y_org / self.slide_downsample))
+        return (window_x_org, window_y_org, x_split_times, y_split_times,
+                window_x, window_y)
+
+    # ---------------- main loops ----------------
+    def split_all(self, backend: DetectorBackend):
+        site_name = self.data_dir.split("/")[-2] if "/" in self.data_dir else ""
+        with open(self.output_file_path, "w") as output_file, \
+                open(self.log_file, "w") as log_file:
+            log_file.write("file,time\n")
+            for entry in read_target_list(self.target_list):
+                if entry.is_comment:
+                    continue
+                meta = entry.metadata
+                self.org_slide_width = meta.org_slide_width
+                self.org_slide_height = meta.org_slide_height
+                self.org_slide_objective_power = meta.org_slide_objective_power
+                self.slide_downsample = meta.slide_downsample
+                self.mpp_x = meta.mpp_x
+                self.mpp_y = meta.mpp_y
+
+                target_dir = os.path.join(self.data_dir, self.staining_dir,
+                                          entry.specimen_id)
+                if not os.path.isdir(target_dir):
+                    continue
+                for candidate in sorted(os.listdir(target_dir)):
+                    body, ext = os.path.splitext(candidate)
+                    if entry.file_name.find(body) >= 0 and ext in NDPI_EXT:
+                        image_type = "ndpi"
+                    elif entry.file_name.find(body) >= 0 and ext in PNG_EXT:
+                        image_type = "png"
+                    else:
+                        continue
+                    start_time = time.time()
+                    self.split(backend, image_type, site_name,
+                               entry.specimen_id, candidate, output_file)
+                    log_file.write('"{}",{}\n'.format(
+                        entry.file_name, time.time() - start_time))
+                    log_file.flush()
+                    break
+
+    def split(self, backend, image_type, site_name, patient_id, file_name,
+              output_file):
+        path = os.path.join(self.data_dir, self.staining_dir, patient_id,
+                            file_name)
+        if image_type == "png":
+            from PIL import Image
+
+            with Image.open(path) as img:
+                self.scan_region_from_image(backend, img, site_name,
+                                            patient_id, file_name,
+                                            output_file)
+        else:
+            with wsi.open_slide(path) as slide:
+                self.org_slide_width, self.org_slide_height = slide.dimensions
+                self.mpp_x = float(slide.properties[wsi.PROPERTY_NAME_MPP_X])
+                self.mpp_y = float(slide.properties[wsi.PROPERTY_NAME_MPP_Y])
+                self.org_slide_objective_power = int(float(
+                    slide.properties[wsi.PROPERTY_NAME_OBJECTIVE_POWER]))
+                self.scan_region(backend, slide, site_name, patient_id,
+                                 file_name, output_file)
+
+    def _iter_batches(self, windows: Iterator[Tuple[int, int, np.ndarray]]):
+        """Group (i, j, image) windows into fixed-size padded batches."""
+        buf = []
+        for item in windows:
+            buf.append(item)
+            if len(buf) == self.batch_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    def _run_windows(self, backend, windows, window_x, window_y, scale,
+                     offset_fn, output_file, site_name, specimen_id,
+                     file_name):
+        for batch in self._iter_batches(windows):
+            images = np.stack([im for _, _, im in batch])
+            if len(batch) < self.batch_size:
+                pad = np.repeat(images[-1:], self.batch_size - len(batch), 0)
+                images = np.concatenate([images, pad])
+            boxes, scores, classes, num = backend.detect_batch(images)
+            for (i, j, _), b, s in zip(batch, boxes, scores):
+                bs = threshold_boxes(b, s, window_x, window_y,
+                                     self.CONF_THRESH)
+                x_start, y_start = offset_fn(i, j)
+                self.write_detected_result(bs, i, j, x_start, y_start,
+                                           output_file, site_name,
+                                           specimen_id, file_name,
+                                           scale)
+
+    def scan_region(self, backend, slide, site_name, specimen_id, file_name,
+                    output_file):
+        # level with objective/downsample <= 5x (detect_glomus_test.py:254-261)
+        self.slide_downsample = 8.0
+        target_level = min(3, slide.level_count - 1)
+        for level, downsample in enumerate(slide.level_downsamples):
+            if self.org_slide_objective_power / downsample <= 5.0:
+                target_level = level
+                self.slide_downsample = slide.level_downsamples[level]
+                break
+        (window_x_org, window_y_org, x_split, y_split, window_x,
+         window_y) = self.calc_window_size()
+        slide_window_x = int(window_x_org * (1.0 - self.OVERLAP_RATIO))
+        slide_window_y = int(window_y_org * (1.0 - self.OVERLAP_RATIO))
+
+        def windows():
+            for j in range(y_split):
+                for i in range(x_split):
+                    x_start = slide_window_x * i
+                    y_start = slide_window_y * j
+                    region = slide.read_region_array(
+                        (x_start, y_start), target_level,
+                        (window_x, window_y))
+                    yield i, j, region
+
+        def offset(i, j):
+            return slide_window_x * i, slide_window_y * j
+
+        self._run_windows(backend, windows(), window_x, window_y,
+                          self.slide_downsample, offset, output_file,
+                          site_name, specimen_id, file_name)
+
+    def scan_region_from_image(self, backend, img, site_name, specimen_id,
+                               file_name, output_file):
+        (window_x_org, window_y_org, x_split, y_split, window_x,
+         window_y) = self.calc_window_size()
+        slide_window_x = int(window_x * (1.0 - self.OVERLAP_RATIO))
+        slide_window_y = int(window_y * (1.0 - self.OVERLAP_RATIO))
+
+        def windows():
+            for j in range(y_split):
+                for i in range(x_split):
+                    x_start = slide_window_x * i
+                    y_start = slide_window_y * j
+                    region = img.crop((x_start, y_start, x_start + window_x,
+                                       y_start + window_y))
+                    arr = np.asarray(region.convert("RGB"))
+                    yield i, j, arr
+
+        def offset(i, j):
+            # PNG path: offsets are scaled to level 0 when written
+            return (slide_window_x * i * self.slide_downsample,
+                    slide_window_y * j * self.slide_downsample)
+
+        self._run_windows(backend, windows(), window_x, window_y,
+                          self.slide_downsample, offset, output_file,
+                          site_name, specimen_id, file_name)
+
+    def write_detected_result(self, bs, i, j, x_start, y_start, output_file,
+                              site_name, specimen_id, file_name, scale):
+        if len(bs) == 0:
+            print("X:{}, Y:{}".format(i, j))
+            return
+        for box in bs:
+            if box[4] > 0:
+                now = datetime.datetime.today().strftime("%Y-%m-%dT%H:%M:%S")
+                output_file.write(
+                    '"' + site_name + '","' + specimen_id + '","'
+                    + file_name + '",new,' + now + ","
+                    + str(x_start + box[0] * scale) + ","
+                    + str(y_start + box[1] * scale) + ","
+                    + str(x_start + box[2] * scale) + ","
+                    + str(y_start + box[3] * scale) + ","
+                    + str(box[4]) + "\n")
+                output_file.flush()

@@ -1,0 +1,157 @@
+"""Fused on-device slide pipeline: crops -> 5-fold ESPNet ensemble -> stitch.
+
+The reference runs each fold separately and stitches on the host through
+labelme JSON files; the TPU-native fused path keeps everything resident on
+device for a whole slide (BASELINE.json north star: "detect->crop->segment
+handoff and overlap-tile label stitching with the 5-fold espnet_fold*.pth
+ensemble run entirely on-device"):
+
+- the five fold checkpoints are stacked into one pytree with a leading fold
+  axis; a single ``vmap`` over folds runs all five networks per crop batch
+  (one XLA program, weights stay in HBM);
+- each fold applies its own BGR mean/std (README.md:243-249) inside the
+  kernel; fold probabilities are averaged before the argmax;
+- crop class maps are nearest-downsampled by 8 and pasted into the /8
+  slide canvas with a pixelwise max — the same combine rule the host
+  stitcher uses (eval_wsi_segmentation.py:300-316).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert.espnet_import import load_espnet_variables
+from ..models.espnet import ESPNet
+from ..ops.preprocess import resize_bilinear_dynamic
+
+# fold -> (BGR mean, BGR std), reference README.md:243-249
+FOLD_NORMALIZATION = {
+    1: ((204.60071, 170.19359, 199.57469), (20.61257, 42.92207, 28.401505)),
+    2: ((202.38148, 167.13171, 198.10599), (20.704079, 42.958416, 28.366297)),
+    3: ((203.12099, 167.813, 198.50894), (21.038654, 43.769535, 29.034416)),
+    4: ((203.66399, 167.94217, 198.58081), (20.96783, 43.556736, 28.838718)),
+    5: ((204.49896, 169.03307, 199.22058), (20.547842, 42.86628, 27.966227)),
+}
+
+
+@dataclasses.dataclass
+class EnsembleConfig:
+    checkpoints: Sequence[str]
+    folds: Sequence[int] = (1, 2, 3, 4, 5)
+    classes: int = 5
+    p: int = 2
+    q: int = 8
+    in_height: int = 512
+    in_width: int = 1024
+    batch_size: int = 8
+    compute_dtype: str = "bfloat16"
+    precision: str = "default"
+
+
+class EnsembleSegmenter:
+    """vmapped 5-fold ESPNet: raw padded BGR crops -> averaged class maps."""
+
+    def __init__(self, config: EnsembleConfig):
+        self.config = config
+        trees = []
+        means, stds = [], []
+        for ckpt, fold in zip(config.checkpoints, config.folds):
+            trees.append(load_espnet_variables(ckpt))
+            mean, std = FOLD_NORMALIZATION[fold]
+            means.append(mean)
+            stds.append(std)
+        self.variables = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        self.mean = jnp.asarray(means, jnp.float32)  # (F, 3) BGR
+        self.std = jnp.asarray(stds, jnp.float32)
+        self.model = ESPNet(config.classes, config.p, config.q)
+        self._forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, padded: jax.Array, heights: jax.Array,
+                      widths: jax.Array) -> jax.Array:
+        """(B, maxH, maxW, 3) uint8 BGR + valid sizes -> (B, H, W) uint8."""
+        cfg = self.config
+
+        def resize_one(img, h, w):
+            return resize_bilinear_dynamic(img.astype(jnp.float32), h, w,
+                                           cfg.in_height, cfg.in_width)
+
+        resized = jax.vmap(resize_one)(padded, heights, widths)  # (B, H, W, 3)
+
+        def fold_forward(variables, mean, std):
+            x = (resized - mean) / std / 255.0
+            with jax.default_matmul_precision(cfg.precision):
+                logits = self.model.apply(variables,
+                                          x.astype(cfg.compute_dtype))
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        probs = jax.vmap(fold_forward)(self.variables, self.mean, self.std)
+        return jnp.argmax(probs.mean(axis=0), axis=-1).astype(jnp.uint8)
+
+    def segment_batch_padded(self, padded: np.ndarray, heights: np.ndarray,
+                             widths: np.ndarray) -> np.ndarray:
+        return np.asarray(self._forward(jnp.asarray(padded),
+                                        jnp.asarray(heights),
+                                        jnp.asarray(widths)))
+
+
+def paste_downsampled_max(canvas: jax.Array, class_map: jax.Array,
+                          x0_ds: int, y0_ds: int) -> jax.Array:
+    """Nearest /8 downsample of a class map, max-pasted into the canvas."""
+    h, w = class_map.shape
+    ys = jnp.arange(h // 8) * 8
+    xs = jnp.arange(w // 8) * 8
+    small = class_map[ys][:, xs]
+    region = jax.lax.dynamic_slice(canvas, (y0_ds, x0_ds), small.shape)
+    return jax.lax.dynamic_update_slice(canvas,
+                                        jnp.maximum(region, small),
+                                        (y0_ds, x0_ds))
+
+
+class FusedSlideSegmenter:
+    """Whole-slide fused path: detections CSV -> /8 prediction canvas.
+
+    Crops are read via the native reader, bucketed to a shared padded shape
+    per batch, segmented by the fold ensemble in one device program, and
+    stitched into a device-resident /8 label canvas.
+    """
+
+    def __init__(self, ensemble: EnsembleSegmenter):
+        self.ensemble = ensemble
+
+    def segment_slide(self, slide, detections: List[List[float]],
+                      progress: bool = False) -> np.ndarray:
+        width, height = slide.dimensions
+        canvas = jnp.zeros((height // 8, width // 8), jnp.uint8)
+        bs = self.ensemble.config.batch_size
+        boxes = [[int(v) for v in det[:4]] for det in detections]
+        for start in range(0, len(boxes), bs):
+            chunk = boxes[start: start + bs]
+            crops = [slide.read_region_array((x1, y1), 0,
+                                             (x2 - x1, y2 - y1))[:, :, ::-1]
+                     for x1, y1, x2, y2 in chunk]  # BGR
+            # bucket the padded shape to multiples of 256 so XLA compiles a
+            # bounded number of programs across a slide's ragged crops
+            max_h = -(-max(c.shape[0] for c in crops) // 256) * 256
+            max_w = -(-max(c.shape[1] for c in crops) // 256) * 256
+            n = len(crops)
+            padded = np.zeros((bs, max_h, max_w, 3), np.uint8)
+            hs = np.zeros(bs, np.int32)
+            ws = np.zeros(bs, np.int32)
+            for i, c in enumerate(crops):
+                padded[i, : c.shape[0], : c.shape[1]] = c
+                hs[i], ws[i] = c.shape[:2]
+            hs[n:], ws[n:] = 1, 1
+            maps = self.ensemble.segment_batch_padded(padded, hs, ws)
+            for (x1, y1, x2, y2), net_map in zip(chunk, maps[:n]):
+                from ..ops.preprocess import postprocess_nearest_host
+
+                crop_map = postprocess_nearest_host(net_map, y2 - y1, x2 - x1)
+                canvas = paste_downsampled_max(
+                    canvas, jnp.asarray(crop_map), x1 // 8, y1 // 8)
+            if progress:
+                print(f"{min(start + bs, len(boxes))}/{len(boxes)} crops")
+        return np.asarray(canvas)

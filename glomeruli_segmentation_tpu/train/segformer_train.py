@@ -1,0 +1,213 @@
+"""SegFormer (GTCS) fine-tuning loop (ref ``module/SegFormer/train/train.py``).
+
+Replicated recipe:
+- augmentations: RandomCropResize(64), H/V flips, blur/sharpen, contrast
+  (``train.py:161-172``);
+- AdamW lr 6e-5 with linear warmup over ``epoch_steps * save_interval``
+  steps (HF TrainingArguments, ``train.py:216-249``);
+- evaluation every save interval with mean-IoU (ignore_index 255,
+  ``compute_metrics``, ``train.py:40-64``); checkpoints keep the latest and
+  the best-by-mean_iou (``save_total_limit=2``);
+- file logger emitting ``{'eval_mean_iou': ..., 'epoch': ...}`` lines into
+  ``log.txt`` so the reference's best-checkpoint discovery
+  (``test.py:149-171``) works unchanged.
+
+Loss: per-pixel cross entropy on 1/4-resolution logits vs the label
+downsampled? No — HF upsamples *labels are compared at label resolution*:
+SegformerForSemanticSegmentation computes CE after upsampling logits to
+label size; replicated here with the bilinear upsample op.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..convert.torch_pickle import save_torch_legacy
+from ..data import transforms as T
+from ..data.dataset import DataLoader
+from ..data.segformer_dataset import ResizedGlomerularDataset
+from ..eval.mean_iou import mean_iou
+from ..models.segformer import Segformer, SegformerConfig, upsample_logits
+
+
+def _ce_ignore(logits_up, labels, ignore_index=255):
+    logp = jax.nn.log_softmax(logits_up, axis=-1)
+    safe = jnp.where(labels == ignore_index, 0, labels)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    mask = labels != ignore_index
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+
+class _PairLoader:
+    """Adapts ResizedGlomerularDataset dicts to (image, label) batches."""
+
+    def __init__(self, dataset, batch_size, shuffle, num_workers, seed=0):
+        import concurrent.futures
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        import concurrent.futures
+
+        n = len(self.dataset)
+        order = np.arange(n)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+
+        def load(args):
+            idx, seed = args
+            return self.dataset.get(idx, np.random.default_rng(seed))
+
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, n, self.batch_size):
+                chunk = order[start: start + self.batch_size]
+                seeds = rng.integers(0, 2**63, size=len(chunk))
+                items = list(pool.map(load, zip(chunk, seeds)))
+                yield (np.stack([it["pixel_values"] for it in items]),
+                       np.stack([it["labels"] for it in items]))
+
+
+def train_segformer(args) -> str:
+    """Run fine-tuning; returns the output directory."""
+    out_dir = os.path.join(args.model_root, args.site,
+                           f"{args.output_dir}/fold{args.fold}")
+    os.makedirs(out_dir, exist_ok=True)
+    log_path = os.path.join(out_dir, "log.txt")
+    log_f = open(log_path, "a")
+
+    data_source = os.path.join(args.data_root, args.site, args.data_date)
+    train_tf = T.Compose([
+        T.RandomCropResize(64),
+        T.RandomFlip(),
+        T.RandomVerticalFlip(),
+        T.RandomBlurringAndSharpning(),
+        T.RandomContrast(),
+    ])
+    input_size = getattr(args, "input_size", 512)
+    train_ds = ResizedGlomerularDataset(
+        data_source, rgb_subdir="rgb", label_subdir="label/gtcs",
+        transforms=train_tf, mode="train", fold=args.fold,
+        input_size=input_size)
+    val_ds = ResizedGlomerularDataset(
+        data_source, rgb_subdir="rgb", label_subdir="label/gtcs",
+        transforms=None, mode="val", fold=args.fold,
+        input_size=input_size)
+    print(f"Number of training examples: {len(train_ds)}")
+    print(f"Number of validation examples: {len(val_ds)}")
+
+    config = SegformerConfig(num_labels=args.num_labels)
+    model = Segformer(config)
+    sample = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    if getattr(args, "pretrained_checkpoint", None):
+        from ..convert.segformer_import import load_segformer_variables
+
+        variables = load_segformer_variables(args.pretrained_checkpoint)
+        init = model.init(jax.random.key(0), sample, train=True)
+        # a pretrained backbone may lack our classifier width: keep ours
+        cls_shape = init["params"]["head"]["classifier"]["kernel"].shape
+        if variables["params"]["head"]["classifier"]["kernel"].shape \
+                != cls_shape:
+            variables["params"]["head"]["classifier"] = \
+                init["params"]["head"]["classifier"]
+        variables = jax.tree.map(jnp.asarray, variables)
+    else:
+        variables = model.init(jax.random.key(0), sample, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    epoch_steps = max(1, -(-len(train_ds) // args.batch_size))
+    warmup = epoch_steps * args.save_interval
+    schedule = optax.linear_schedule(0.0, args.lr, warmup)
+    tx = optax.adamw(schedule)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, y):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"])
+            up = upsample_logits(logits, y.shape[1], y.shape[2])
+            return _ce_ignore(up, y), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_stats, opt_state,
+                loss)
+
+    @jax.jit
+    def eval_step(params, batch_stats, x):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             x)
+        return logits
+
+    train_loader = _PairLoader(train_ds, args.batch_size, True,
+                               args.dl_num_workers)
+    val_loader = _PairLoader(val_ds, args.batch_size, False,
+                             args.dl_num_workers)
+
+    best_iou = -1.0
+    best_dir: Optional[str] = None
+    prev_dir: Optional[str] = None
+    step = 0
+    for epoch in range(args.max_epoch):
+        for x, y in train_loader:
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, jnp.asarray(x),
+                jnp.asarray(y))
+            step += 1
+        log_f.write(json.dumps({"loss": float(loss),
+                                "epoch": epoch + 1}) + "\n")
+        if (epoch + 1) % args.save_interval == 0 or epoch + 1 == args.max_epoch:
+            preds, gts = [], []
+            for x, y in val_loader:
+                logits = eval_step(params, batch_stats, jnp.asarray(x))
+                up = upsample_logits(logits, y.shape[1], y.shape[2])
+                preds.extend(np.asarray(jnp.argmax(up, -1)))
+                gts.extend(y)
+            if preds:
+                metrics = mean_iou(preds, gts, args.num_labels,
+                                   ignore_index=255)
+                eval_iou = float(metrics["mean_iou"])
+            else:
+                eval_iou = 0.0
+            log_f.write(json.dumps(
+                {"eval_mean_iou": eval_iou, "epoch": epoch + 1}) + "\n")
+            log_f.flush()
+            ckpt_dir = os.path.join(out_dir, f"checkpoint-{step}")
+            os.makedirs(ckpt_dir, exist_ok=True)
+            save_torch_legacy(
+                {"params": jax.tree.map(np.asarray, params),
+                 "batch_stats": jax.tree.map(np.asarray, batch_stats),
+                 "num_labels": args.num_labels},
+                os.path.join(ckpt_dir, "flax_model.pth"))
+            # save_total_limit=2: keep the newest and the best
+            if eval_iou > best_iou:
+                best_iou = eval_iou
+                if (best_dir and prev_dir and best_dir != prev_dir
+                        and os.path.isdir(best_dir)):
+                    shutil.rmtree(best_dir)
+                best_dir = ckpt_dir
+            elif prev_dir and prev_dir != best_dir and os.path.isdir(prev_dir):
+                shutil.rmtree(prev_dir)
+            prev_dir = ckpt_dir
+    log_f.close()
+    return out_dir

@@ -1,0 +1,518 @@
+// Native whole-slide reader: TIFF / BigTIFF / NDPI pyramids.
+//
+// TPU-native replacement for the OpenSlide C library the reference links
+// against (docker/gpu.dockerfile:9,36; used from e.g.
+// module/faster-rcnn/detect_glomus_test.py:183-190).  Parses IFDs directly,
+// decodes JPEG tiles/strips with libjpeg(-turbo) (merging shared
+// JPEGTables), deflate with zlib, and exposes a flat C ABI consumed by the
+// ctypes wrapper in ../native_reader.py.  Tile decodes for one read_region
+// fan out over a small thread pool: the host-side tiler stages patch
+// batches into pinned buffers that feed TPU HBM.
+//
+// Build: see build.sh next to this file (produces _ndpi_reader.so).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <zlib.h>
+#include <csetjmp>
+
+namespace {
+
+constexpr uint16_t TAG_IMAGE_WIDTH = 256;
+constexpr uint16_t TAG_IMAGE_LENGTH = 257;
+constexpr uint16_t TAG_COMPRESSION = 259;
+constexpr uint16_t TAG_STRIP_OFFSETS = 273;
+constexpr uint16_t TAG_SAMPLES_PER_PIXEL = 277;
+constexpr uint16_t TAG_ROWS_PER_STRIP = 278;
+constexpr uint16_t TAG_STRIP_BYTE_COUNTS = 279;
+constexpr uint16_t TAG_X_RESOLUTION = 282;
+constexpr uint16_t TAG_Y_RESOLUTION = 283;
+constexpr uint16_t TAG_RESOLUTION_UNIT = 296;
+constexpr uint16_t TAG_TILE_WIDTH = 322;
+constexpr uint16_t TAG_TILE_LENGTH = 323;
+constexpr uint16_t TAG_TILE_OFFSETS = 324;
+constexpr uint16_t TAG_TILE_BYTE_COUNTS = 325;
+constexpr uint16_t TAG_JPEG_TABLES = 347;
+constexpr uint16_t TAG_NDPI_SOURCELENS = 65421;
+
+struct Page {
+  int64_t width = 0, height = 0;
+  int64_t tile_width = 0, tile_height = 0;
+  int64_t rows_per_strip = 0;
+  int compression = 1;
+  int samples_per_pixel = 3;
+  std::vector<uint64_t> offsets;
+  std::vector<uint64_t> byte_counts;
+  std::vector<uint8_t> jpeg_tables;
+  double x_resolution = 0, y_resolution = 0;
+  int resolution_unit = 2;
+  double source_lens = -1e9;  // unset marker
+  bool tiled() const { return tile_width > 0; }
+};
+
+struct Entry {
+  uint16_t type;
+  uint64_t count;
+  uint8_t inline_value[8];
+  uint64_t value_offset;
+  bool is_inline;
+};
+
+size_t type_size(uint16_t t) {
+  switch (t) {
+    case 1: case 2: case 6: case 7: return 1;
+    case 3: case 8: return 2;
+    case 4: case 9: case 11: return 4;
+    case 5: case 10: case 12: case 16: case 17: case 18: return 8;
+    default: return 0;
+  }
+}
+
+class Reader {
+ public:
+  bool open(const char* path) {
+    f_ = std::fopen(path, "rb");
+    if (!f_) return false;
+    uint8_t header[16];
+    if (std::fread(header, 1, 8, f_) != 8) return false;
+    if (header[0] == 'I' && header[1] == 'I') little_ = true;
+    else if (header[0] == 'M' && header[1] == 'M') little_ = false;
+    else return false;
+    uint16_t version = rd16(header + 2);
+    uint64_t ifd_offset;
+    if (version == 43) {
+      big_ = true;
+      uint8_t rest[8];
+      if (std::fread(rest, 1, 8, f_) != 8) return false;
+      ifd_offset = rd64(rest);
+    } else if (version == 42) {
+      big_ = false;
+      ifd_offset = rd32(header + 4);
+    } else {
+      return false;
+    }
+    while (ifd_offset != 0) {
+      if (!parse_ifd(ifd_offset, &ifd_offset)) return false;
+    }
+    // keep pyramid pages: same aspect ratio as the largest page, positive
+    // source lens (NDPI macro/map images have negative lens values)
+    if (pages_.empty()) return false;
+    size_t base = 0;
+    for (size_t i = 1; i < pages_.size(); i++)
+      if (pages_[i].width * pages_[i].height >
+          pages_[base].width * pages_[base].height)
+        base = i;
+    double ar = double(pages_[base].width) / pages_[base].height;
+    std::vector<Page> keep;
+    for (auto& p : pages_) {
+      if (p.width <= 0 || p.height <= 0) continue;
+      if (p.source_lens > -1e8 && p.source_lens <= 0) continue;
+      double a = double(p.width) / p.height;
+      if (a / ar > 1.05 || ar / a > 1.05) continue;
+      keep.push_back(std::move(p));
+    }
+    pages_ = std::move(keep);
+    std::sort(pages_.begin(), pages_.end(), [](const Page& a, const Page& b) {
+      return a.width * a.height > b.width * b.height;
+    });
+    return !pages_.empty();
+  }
+
+  ~Reader() {
+    if (f_) std::fclose(f_);
+  }
+
+  int level_count() const { return (int)pages_.size(); }
+  const Page& page(int level) const { return pages_[level]; }
+
+  double mpp(bool x_axis) const {
+    const Page& p = pages_[0];
+    double res = x_axis ? p.x_resolution : p.y_resolution;
+    if (res <= 0) return 0;
+    double unit_um = p.resolution_unit == 3 ? 10000.0
+                     : p.resolution_unit == 2 ? 25400.0 : 0.0;
+    return unit_um > 0 ? unit_um / res : 0;
+  }
+
+  double objective() const {
+    return pages_[0].source_lens > -1e8 ? pages_[0].source_lens : 0;
+  }
+
+  // Decode chunk `index` of `level` into an RGB buffer (returned via cache).
+  std::shared_ptr<std::vector<uint8_t>> chunk(int level, int64_t index,
+                                              int64_t* cw, int64_t* ch) {
+    const Page& p = pages_[level];
+    if (p.tiled()) {
+      *cw = p.tile_width;
+      *ch = p.tile_height;
+    } else {
+      *cw = p.width;
+      int64_t row0 = index * p.rows_per_strip;
+      *ch = std::min<int64_t>(p.rows_per_strip, p.height - row0);
+    }
+    {
+      std::lock_guard<std::mutex> lock(cache_mu_);
+      auto it = cache_.find({level, index});
+      if (it != cache_.end()) return it->second;
+    }
+    std::vector<uint8_t> raw(p.byte_counts[index]);
+    {
+      std::lock_guard<std::mutex> lock(file_mu_);
+      if (std::fseek(f_, (long)p.offsets[index], SEEK_SET) != 0) return nullptr;
+      if (std::fread(raw.data(), 1, raw.size(), f_) != raw.size())
+        return nullptr;
+    }
+    auto out = std::make_shared<std::vector<uint8_t>>((*cw) * (*ch) * 3);
+    bool ok = false;
+    if (p.compression == 7) {
+      ok = decode_jpeg(p, raw, out->data(), *cw, *ch);
+    } else if (p.compression == 1) {
+      ok = copy_raw(p, raw, out->data(), *cw, *ch);
+    } else if (p.compression == 8) {
+      std::vector<uint8_t> inflated((*cw) * (*ch) * p.samples_per_pixel);
+      uLongf dest_len = inflated.size();
+      if (uncompress(inflated.data(), &dest_len, raw.data(), raw.size())
+          == Z_OK) {
+        ok = copy_raw(p, inflated, out->data(), *cw, *ch);
+      }
+    }
+    if (!ok) return nullptr;
+    {
+      std::lock_guard<std::mutex> lock(cache_mu_);
+      if (cache_.size() > 256) cache_.clear();
+      cache_[{level, index}] = out;
+    }
+    return out;
+  }
+
+ private:
+  struct JpegError {
+    jpeg_error_mgr mgr;
+    jmp_buf jump;
+  };
+
+  static void jpeg_error_exit(j_common_ptr cinfo) {
+    JpegError* err = reinterpret_cast<JpegError*>(cinfo->err);
+    longjmp(err->jump, 1);
+  }
+
+  bool decode_jpeg(const Page& p, const std::vector<uint8_t>& data,
+                   uint8_t* out, int64_t cw, int64_t ch) {
+    std::vector<uint8_t> merged;
+    const uint8_t* src = data.data();
+    size_t src_len = data.size();
+    if (p.jpeg_tables.size() > 4) {
+      merged.reserve(p.jpeg_tables.size() - 2 + data.size() - 2);
+      merged.insert(merged.end(), p.jpeg_tables.begin(),
+                    p.jpeg_tables.end() - 2);
+      merged.insert(merged.end(), data.begin() + 2, data.end());
+      src = merged.data();
+      src_len = merged.size();
+    }
+    jpeg_decompress_struct cinfo;
+    JpegError jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_error_exit;
+    if (setjmp(jerr.jump)) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(src), src_len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    int64_t w = std::min<int64_t>(cinfo.output_width, cw);
+    std::vector<uint8_t> row(cinfo.output_width * 3);
+    JSAMPROW rowptr = row.data();
+    for (int64_t y = 0; y < (int64_t)cinfo.output_height; y++) {
+      jpeg_read_scanlines(&cinfo, &rowptr, 1);
+      if (y < ch) std::memcpy(out + y * cw * 3, row.data(), w * 3);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+  }
+
+  bool copy_raw(const Page& p, const std::vector<uint8_t>& data, uint8_t* out,
+                int64_t cw, int64_t ch) {
+    int spp = p.samples_per_pixel;
+    if ((int64_t)data.size() < cw * ch * spp) return false;
+    if (spp == 3) {
+      std::memcpy(out, data.data(), cw * ch * 3);
+    } else if (spp == 1) {
+      for (int64_t i = 0; i < cw * ch; i++)
+        out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = data[i];
+    } else {
+      for (int64_t i = 0; i < cw * ch; i++)
+        std::memcpy(out + 3 * i, data.data() + spp * i, 3);
+    }
+    return true;
+  }
+
+  uint16_t rd16(const uint8_t* b) const {
+    return little_ ? (b[0] | b[1] << 8) : (b[1] | b[0] << 8);
+  }
+  uint32_t rd32(const uint8_t* b) const {
+    return little_ ? (uint32_t)b[0] | b[1] << 8 | b[2] << 16 |
+                         (uint32_t)b[3] << 24
+                   : (uint32_t)b[3] | b[2] << 8 | b[1] << 16 |
+                         (uint32_t)b[0] << 24;
+  }
+  uint64_t rd64(const uint8_t* b) const {
+    uint64_t lo = rd32(little_ ? b : b + 4);
+    uint64_t hi = rd32(little_ ? b + 4 : b);
+    return lo | (hi << 32);
+  }
+
+  std::vector<uint8_t> entry_data(const Entry& e) {
+    size_t total = type_size(e.type) * e.count;
+    std::vector<uint8_t> buf(total);
+    if (e.is_inline) {
+      std::memcpy(buf.data(), e.inline_value, total);
+    } else {
+      std::fseek(f_, (long)e.value_offset, SEEK_SET);
+      if (std::fread(buf.data(), 1, total, f_) != total) buf.clear();
+    }
+    return buf;
+  }
+
+  std::vector<uint64_t> entry_ints(const Entry& e) {
+    auto data = entry_data(e);
+    std::vector<uint64_t> out;
+    size_t ts = type_size(e.type);
+    for (uint64_t i = 0; i < e.count && (i + 1) * ts <= data.size(); i++) {
+      const uint8_t* b = data.data() + i * ts;
+      switch (e.type) {
+        case 1: out.push_back(b[0]); break;
+        case 3: out.push_back(rd16(b)); break;
+        case 4: out.push_back(rd32(b)); break;
+        case 16: out.push_back(rd64(b)); break;
+        default: out.push_back(0);
+      }
+    }
+    return out;
+  }
+
+  double entry_rational(const Entry& e) {
+    auto data = entry_data(e);
+    if (data.size() < 8) return 0;
+    uint32_t num = rd32(data.data());
+    uint32_t den = rd32(data.data() + 4);
+    return den ? double(num) / den : 0;
+  }
+
+  double entry_float(const Entry& e) {
+    auto data = entry_data(e);
+    if (e.type == 11 && data.size() >= 4) {
+      uint32_t bits = rd32(data.data());
+      float v;
+      std::memcpy(&v, &bits, 4);
+      return v;
+    }
+    if (e.type == 12 && data.size() >= 8) {
+      uint64_t bits = rd64(data.data());
+      double v;
+      std::memcpy(&v, &bits, 8);
+      return v;
+    }
+    auto ints = entry_ints(e);
+    return ints.empty() ? 0 : (double)ints[0];
+  }
+
+  bool parse_ifd(uint64_t offset, uint64_t* next) {
+    std::fseek(f_, (long)offset, SEEK_SET);
+    uint64_t n_entries;
+    size_t entry_size = big_ ? 20 : 12;
+    if (big_) {
+      uint8_t b[8];
+      if (std::fread(b, 1, 8, f_) != 8) return false;
+      n_entries = rd64(b);
+    } else {
+      uint8_t b[2];
+      if (std::fread(b, 1, 2, f_) != 2) return false;
+      n_entries = rd16(b);
+    }
+    std::vector<uint8_t> raw(n_entries * entry_size);
+    if (std::fread(raw.data(), 1, raw.size(), f_) != raw.size()) return false;
+    uint8_t nb[8];
+    size_t next_size = big_ ? 8 : 4;
+    if (std::fread(nb, 1, next_size, f_) != next_size) return false;
+    *next = big_ ? rd64(nb) : rd32(nb);
+
+    Page page;
+    for (uint64_t i = 0; i < n_entries; i++) {
+      const uint8_t* e = raw.data() + i * entry_size;
+      uint16_t tag = rd16(e);
+      Entry entry;
+      entry.type = rd16(e + 2);
+      entry.count = big_ ? rd64(e + 4) : rd32(e + 4);
+      size_t total = type_size(entry.type) * entry.count;
+      size_t inline_cap = big_ ? 8 : 4;
+      const uint8_t* value = e + (big_ ? 12 : 8);
+      entry.is_inline = total <= inline_cap;
+      if (entry.is_inline) {
+        std::memcpy(entry.inline_value, value, inline_cap);
+      } else {
+        entry.value_offset = big_ ? rd64(value) : rd32(value);
+      }
+      switch (tag) {
+        case TAG_IMAGE_WIDTH: page.width = entry_ints(entry)[0]; break;
+        case TAG_IMAGE_LENGTH: page.height = entry_ints(entry)[0]; break;
+        case TAG_COMPRESSION: page.compression = (int)entry_ints(entry)[0];
+          break;
+        case TAG_SAMPLES_PER_PIXEL:
+          page.samples_per_pixel = (int)entry_ints(entry)[0]; break;
+        case TAG_ROWS_PER_STRIP:
+          page.rows_per_strip = entry_ints(entry)[0]; break;
+        case TAG_TILE_WIDTH: page.tile_width = entry_ints(entry)[0]; break;
+        case TAG_TILE_LENGTH: page.tile_height = entry_ints(entry)[0]; break;
+        case TAG_TILE_OFFSETS:
+        case TAG_STRIP_OFFSETS: page.offsets = entry_ints(entry); break;
+        case TAG_TILE_BYTE_COUNTS:
+        case TAG_STRIP_BYTE_COUNTS:
+          page.byte_counts = entry_ints(entry); break;
+        case TAG_JPEG_TABLES: page.jpeg_tables = entry_data(entry); break;
+        case TAG_X_RESOLUTION:
+          page.x_resolution = entry_rational(entry); break;
+        case TAG_Y_RESOLUTION:
+          page.y_resolution = entry_rational(entry); break;
+        case TAG_RESOLUTION_UNIT:
+          page.resolution_unit = (int)entry_ints(entry)[0]; break;
+        case TAG_NDPI_SOURCELENS:
+          page.source_lens = entry_float(entry); break;
+        default: break;
+      }
+    }
+    if (page.rows_per_strip == 0) page.rows_per_strip = page.height;
+    pages_.push_back(std::move(page));
+    return true;
+  }
+
+  FILE* f_ = nullptr;
+  bool little_ = true, big_ = false;
+  std::vector<Page> pages_;
+  std::mutex file_mu_, cache_mu_;
+  std::map<std::pair<int, int64_t>, std::shared_ptr<std::vector<uint8_t>>>
+      cache_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gs_open(const char* path) {
+  auto* r = new Reader();
+  if (!r->open(path)) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+void gs_close(void* handle) { delete static_cast<Reader*>(handle); }
+
+int gs_level_count(void* handle) {
+  return static_cast<Reader*>(handle)->level_count();
+}
+
+void gs_level_dimensions(void* handle, int level, int64_t* w, int64_t* h) {
+  const Page& p = static_cast<Reader*>(handle)->page(level);
+  *w = p.width;
+  *h = p.height;
+}
+
+double gs_mpp_x(void* handle) { return static_cast<Reader*>(handle)->mpp(true); }
+double gs_mpp_y(void* handle) { return static_cast<Reader*>(handle)->mpp(false); }
+double gs_objective_power(void* handle) {
+  return static_cast<Reader*>(handle)->objective();
+}
+
+// Read a region at `level`; (x, y) are LEVEL-0 coordinates (openslide
+// convention).  Fills out (h * w * 3) RGB, white background out of bounds.
+// Returns 0 on success.
+int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
+                   int64_t w, int64_t h, uint8_t* out) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (level < 0 || level >= r->level_count()) return -1;
+  const Page& p = r->page(level);
+  const Page& base = r->page(0);
+  double ds = double(base.width) / p.width;
+  int64_t x0 = (int64_t)(x0_l0 / ds);
+  int64_t y0 = (int64_t)(y0_l0 / ds);
+  std::memset(out, 255, (size_t)(w * h * 3));
+
+  int64_t ix0 = std::max<int64_t>(x0, 0), iy0 = std::max<int64_t>(y0, 0);
+  int64_t ix1 = std::min<int64_t>(x0 + w, p.width);
+  int64_t iy1 = std::min<int64_t>(y0 + h, p.height);
+  if (ix1 <= ix0 || iy1 <= iy0) return 0;
+
+  struct Job {
+    int64_t index, tx, ty;
+  };
+  std::vector<Job> jobs;
+  if (p.tiled()) {
+    int64_t tw = p.tile_width, th = p.tile_height;
+    int64_t across = (p.width + tw - 1) / tw;
+    for (int64_t ty = iy0 / th; ty <= (iy1 - 1) / th; ty++)
+      for (int64_t tx = ix0 / tw; tx <= (ix1 - 1) / tw; tx++)
+        jobs.push_back({ty * across + tx, tx, ty});
+  } else {
+    for (int64_t s = iy0 / p.rows_per_strip; s <= (iy1 - 1) / p.rows_per_strip;
+         s++)
+      jobs.push_back({s, 0, s});
+  }
+
+  std::mutex err_mu;
+  bool failed = false;
+  auto work = [&](size_t begin, size_t end) {
+    for (size_t j = begin; j < end; j++) {
+      const Job& job = jobs[j];
+      int64_t cw, chh;
+      auto tile = r->chunk(level, job.index, &cw, &chh);
+      if (!tile) {
+        std::lock_guard<std::mutex> lock(err_mu);
+        failed = true;
+        return;
+      }
+      int64_t ox = p.tiled() ? job.tx * p.tile_width : 0;
+      int64_t oy = p.tiled() ? job.ty * p.tile_height
+                             : job.ty * p.rows_per_strip;
+      int64_t sx0 = std::max(ix0, ox), sy0 = std::max(iy0, oy);
+      int64_t sx1 = std::min(ix1, ox + cw), sy1 = std::min(iy1, oy + chh);
+      for (int64_t y = sy0; y < sy1; y++) {
+        std::memcpy(out + ((y - y0) * w + (sx0 - x0)) * 3,
+                    tile->data() + ((y - oy) * cw + (sx0 - ox)) * 3,
+                    (size_t)(sx1 - sx0) * 3);
+      }
+    }
+  };
+
+  size_t n_threads = std::min<size_t>(jobs.size(),
+                                      std::thread::hardware_concurrency());
+  if (n_threads <= 1) {
+    work(0, jobs.size());
+  } else {
+    std::vector<std::thread> threads;
+    size_t per = (jobs.size() + n_threads - 1) / n_threads;
+    for (size_t t = 0; t < n_threads; t++) {
+      size_t begin = t * per;
+      size_t end = std::min(jobs.size(), begin + per);
+      if (begin < end) threads.emplace_back(work, begin, end);
+    }
+    for (auto& t : threads) t.join();
+  }
+  return failed ? -2 : 0;
+}
+
+}  // extern "C"

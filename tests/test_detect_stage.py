@@ -1,0 +1,108 @@
+"""Detect-stage tests with a synthetic (threshold-based) backend.
+
+Validates the sliding-window geometry, batching, CSV contract, and the
+detect->merge chain on a synthetic slide with known glomerulus positions.
+"""
+import os
+
+import numpy as np
+
+from glomeruli_segmentation_tpu.pipeline.detect import (
+    DetectorBackend,
+    GlomusDetector,
+    threshold_boxes,
+)
+from glomeruli_segmentation_tpu.pipeline.merge import run_merge
+from glomeruli_segmentation_tpu.wsi.synthetic import (
+    pas_like_image,
+    write_pyramidal_tiff,
+)
+
+MPP = 0.25
+
+
+class BlobBackend(DetectorBackend):
+    """'Detects' the dark synthetic blobs by intensity threshold."""
+
+    batch_size = 4
+
+    def detect_batch(self, images: np.ndarray):
+        B, H, W, _ = images.shape
+        boxes = np.zeros((B, 4, 4), np.float32)
+        scores = np.zeros((B, 4), np.float32)
+        classes = np.ones((B, 4), np.float32)
+        num = np.zeros((B,), np.float32)
+        for b, im in enumerate(images):
+            mask = im.mean(axis=-1) < 185
+            if mask.sum() < 200:
+                continue
+            ys, xs = np.nonzero(mask)
+            boxes[b, 0] = [ys.min() / H, xs.min() / W,
+                           ys.max() / H, xs.max() / W]
+            scores[b, 0] = 0.95
+            num[b] = 1
+        return boxes, scores, classes, num
+
+
+def test_detect_and_merge_on_synthetic_slide(tmp_path):
+    patient = "H16-11111"
+    img, centers = pas_like_image(1536, 2048, seed=21, n_glomeruli=3)
+    slide_dir = tmp_path / "data" / "02_PAS" / patient
+    slide_dir.mkdir(parents=True)
+    write_pyramidal_tiff(str(slide_dir / f"{patient}.tiff"), img, mpp=MPP,
+                         objective_power=40.0, levels=3)
+    target_list = tmp_path / "targets.txt"
+    target_list.write_text(f"{patient}/{patient}.tiff\n")
+
+    detector = GlomusDetector(
+        "OPT_PAS", str(target_list), str(tmp_path / "data"),
+        str(tmp_path / "out"), "_test1",
+        window_size=100, overlap_ratio=0.5, conf_threshold=0.5, batch_size=4)
+    detector.split_all(BlobBackend())
+
+    csv_path = tmp_path / "out" / "OPT_PAS_test1.csv"
+    assert csv_path.exists()
+    rows = csv_path.read_text().strip().splitlines()
+    assert rows, "no detections written"
+    # CSV schema: "site","patient","file",new,timestamp,x1,y1,x2,y2,conf
+    parts = rows[0].split(",")
+    assert parts[1] == f'"{patient}"'
+    assert parts[3] == "new"
+    assert abs(float(parts[9]) - 0.95) < 1e-6
+    assert (tmp_path / "out" / "OPT_PAS_test1_log.csv").exists()
+
+    # detections (level-0 coords) must hit actual blob locations
+    det_boxes = [list(map(float, r.split(",")[5:9])) for r in rows]
+    for x1, y1, x2, y2 in det_boxes:
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        d = min(np.hypot(cx - bx, cy - by) for bx, by, _ in centers)
+        assert d < 260, (x1, y1, x2, y2, centers)
+
+    # merge collapses the overlapping-window duplicates
+    merged_csv = run_merge("OPT_PAS", str(csv_path), str(tmp_path / "out"),
+                           "test1", conf_threshold=0.9,
+                           annotation_dir=str(tmp_path / "data"),
+                           overlap_threshold=0.35,
+                           target_list=str(target_list))
+    merged = merged_csv and open(merged_csv).read().strip().splitlines()
+    assert 1 <= len(merged) <= len(rows)
+    # each blob with a detection ends up covered by some merged box
+    for bx, by, r in centers:
+        hit = any(m[0] - 8 <= bx <= m[2] + 8 and m[1] - 8 <= by <= m[3] + 8
+                  for m in ([list(map(float, row.split(",")[3:7]))
+                             for row in merged]))
+        if not hit:
+            # blobs clipped by slide edges may be missed; tolerate only those
+            assert (bx < 300 or bx > 1748 or by < 300 or by > 1236), \
+                (bx, by, merged)
+
+
+def test_threshold_boxes_sorted_contract():
+    boxes = np.asarray([[0.1, 0.1, 0.5, 0.5], [0.2, 0.2, 0.6, 0.6],
+                        [0.0, 0.0, 0.1, 0.1]], np.float32)
+    scores = np.asarray([0.9, 0.7, 0.2], np.float32)
+    out = threshold_boxes(boxes, scores, 100, 200, 0.5)
+    assert len(out) == 2
+    # [window_x * xmin, window_y * ymin, window_x * xmax, window_y * ymax]
+    assert out[0][:4] == [10, 20, 50, 100]
+    assert abs(out[0][4] - 0.9) < 1e-6

@@ -1,0 +1,104 @@
+"""Tests for box coding, NMS, and ROI cropping."""
+import numpy as np
+import jax.numpy as jnp
+
+from glomeruli_segmentation_tpu.ops.boxes import (
+    boxes_iou,
+    clip_boxes,
+    decode_boxes,
+    encode_boxes,
+    generate_anchors,
+)
+from glomeruli_segmentation_tpu.ops.nms import gather_padded, nms
+from glomeruli_segmentation_tpu.ops.roi_align import crop_and_resize
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.RandomState(0)
+    anchors = np.stack([
+        rng.uniform(0, 100, 64), rng.uniform(0, 100, 64),
+        rng.uniform(110, 200, 64), rng.uniform(110, 200, 64)], axis=-1)
+    boxes = anchors + rng.uniform(-10, 10, anchors.shape)
+    boxes[:, 2:] = np.maximum(boxes[:, 2:], boxes[:, :2] + 1)
+    deltas = encode_boxes(jnp.asarray(boxes), jnp.asarray(anchors))
+    back = decode_boxes(deltas, jnp.asarray(anchors))
+    np.testing.assert_allclose(np.asarray(back), boxes, rtol=1e-4, atol=1e-3)
+
+
+def test_iou_matrix():
+    a = jnp.asarray([[0, 0, 10, 10], [0, 0, 5, 5]], jnp.float32)
+    b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],
+                    jnp.float32)
+    iou = np.asarray(boxes_iou(a, b))
+    np.testing.assert_allclose(iou[0], [1.0, 25 / 175, 0.0], atol=1e-6)
+    np.testing.assert_allclose(iou[1], [0.25, 0.0, 0.0], atol=1e-6)
+
+
+def test_anchor_grid():
+    anchors = generate_anchors(4, 6, 16, scales=(0.5, 1.0),
+                               aspect_ratios=(1.0,), base_size=64)
+    assert anchors.shape == (4 * 6 * 2, 4)
+    a0 = np.asarray(anchors[0])
+    # first cell center at (8, 8); first anchor 32x32
+    np.testing.assert_allclose(a0, [8 - 16, 8 - 16, 8 + 16, 8 + 16])
+
+
+def _nms_reference(boxes, scores, iou_thr):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            yx1 = np.maximum(boxes[i, :2], boxes[j, :2])
+            yx2 = np.minimum(boxes[i, 2:], boxes[j, 2:])
+            wh = np.maximum(yx2 - yx1, 0)
+            inter = wh[0] * wh[1]
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (a1 + a2 - inter) >= iou_thr:
+                suppressed[j] = True
+    return keep
+
+
+def test_nms_matches_reference():
+    rng = np.random.RandomState(1)
+    n = 120
+    centers = rng.uniform(20, 200, (n, 2))
+    sizes = rng.uniform(10, 60, (n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                           axis=-1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    want = _nms_reference(boxes, scores, 0.5)
+    got, num = nms(jnp.asarray(boxes), jnp.asarray(scores), 128, 0.5)
+    got = np.asarray(got)
+    assert int(num) == len(want)
+    np.testing.assert_array_equal(got[: len(want)], want)
+    assert (got[len(want):] == -1).all()
+
+
+def test_nms_score_threshold_and_gather():
+    boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.1], jnp.float32)
+    keep, num = nms(boxes, scores, 4, 0.5, score_threshold=0.5)
+    assert int(num) == 1
+    gathered = gather_padded(boxes, keep)
+    np.testing.assert_array_equal(np.asarray(gathered[0]), [0, 0, 10, 10])
+    assert (np.asarray(gathered[1:]) == 0).all()
+
+
+def test_crop_and_resize_identity_and_subcrop():
+    rng = np.random.RandomState(2)
+    feat = rng.randn(16, 16, 3).astype(np.float32)
+    # full-image crop at crop_size == H is the identity (endpoint-aligned)
+    out = crop_and_resize(jnp.asarray(feat),
+                          jnp.asarray([[0.0, 0.0, 1.0, 1.0]]), 16)
+    np.testing.assert_allclose(np.asarray(out[0]), feat, atol=1e-5)
+    # axis-aligned half crop: samples at integer positions
+    out = crop_and_resize(jnp.asarray(feat),
+                          jnp.asarray([[0.0, 0.0, 7 / 15, 7 / 15]]), 8)
+    np.testing.assert_allclose(np.asarray(out[0]), feat[:8, :8], atol=1e-5)

@@ -1,0 +1,87 @@
+"""Fused 5-fold ensemble pipeline tests."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from glomeruli_segmentation_tpu.pipeline.fused import (
+    EnsembleConfig,
+    EnsembleSegmenter,
+    FusedSlideSegmenter,
+    paste_downsampled_max,
+)
+from glomeruli_segmentation_tpu.wsi.synthetic import (
+    pas_like_image,
+    write_pyramidal_tiff,
+)
+
+
+def test_paste_downsampled_max():
+    canvas = jnp.zeros((32, 32), jnp.uint8)
+    cmap = jnp.full((16, 24), 2, jnp.uint8)
+    canvas = paste_downsampled_max(canvas, cmap, 4, 8)
+    out = np.asarray(canvas)
+    assert (out[8:10, 4:7] == 2).all()
+    assert out.sum() == 2 * 2 * 3
+    # max combine keeps the higher class
+    cmap2 = jnp.full((16, 24), 1, jnp.uint8)
+    canvas = paste_downsampled_max(canvas, cmap2, 4, 8)
+    assert (np.asarray(canvas)[8:10, 4:7] == 2).all()
+
+
+@pytest.fixture(scope="module")
+def ensemble(reference_models_dir):
+    ckpts = [str(reference_models_dir / f"espnet_fold{k}.pth")
+             for k in range(1, 6)]
+    return EnsembleSegmenter(EnsembleConfig(
+        checkpoints=ckpts, batch_size=2, compute_dtype="float32",
+        precision="highest"))
+
+
+def test_ensemble_runs_and_agrees_with_single_fold(ensemble,
+                                                   reference_models_dir):
+    from glomeruli_segmentation_tpu.pipeline.segment import (
+        EspnetSegmenter,
+        SegmenterConfig,
+    )
+
+    rng = np.random.RandomState(0)
+    img = np.full((300, 400, 3), (200, 170, 205), np.uint8)
+    img = np.clip(img + rng.randint(-20, 20, img.shape), 0, 255).astype(
+        np.uint8)
+    padded = img[None]
+    maps = ensemble.segment_batch_padded(
+        np.repeat(padded, 2, axis=0), np.asarray([300, 300], np.int32),
+        np.asarray([400, 400], np.int32))
+    assert maps.shape == (2, 512, 1024)
+    assert maps.max() < 5
+    np.testing.assert_array_equal(maps[0], maps[1])
+
+    # ensemble argmax should broadly agree with the fold-1 class map on
+    # near-background input
+    single = EspnetSegmenter(SegmenterConfig(
+        weights=str(reference_models_dir / "espnet_fold1.pth"),
+        mean=[204.60071, 170.19359, 199.57469],
+        std=[20.61257, 42.92207, 28.401505], batch_size=1))
+    one = single.class_maps_net_res([img])[0]
+    agreement = (one == maps[0]).mean()
+    assert agreement > 0.5, agreement
+
+
+def test_fused_slide_segmentation(ensemble, tmp_path):
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    img, centers = pas_like_image(1024, 1536, seed=13, n_glomeruli=2)
+    path = str(tmp_path / "s.tiff")
+    write_pyramidal_tiff(path, img, mpp=0.25, levels=3)
+    slide = Slide(path)
+    detections = [[256, 256, 640, 640, 0.9], [640, 384, 1024, 768, 0.9]]
+    fused = FusedSlideSegmenter(ensemble)
+    canvas = fused.segment_slide(slide, detections)
+    assert canvas.shape == (1024 // 8, 1536 // 8)
+    assert canvas.max() < 5
+    # everything outside detected boxes stays background
+    mask = np.zeros_like(canvas, bool)
+    for x1, y1, x2, y2, _ in detections:
+        mask[y1 // 8: y2 // 8, x1 // 8: x2 // 8] = True
+    assert (canvas[~mask] == 0).all()

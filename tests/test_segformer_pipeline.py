@@ -1,0 +1,127 @@
+"""SegFormer GTCS flow tests: metric, dataset split, train->test chain."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from glomeruli_segmentation_tpu.data.segformer_dataset import (
+    ResizedGlomerularDataset,
+    feature_extract,
+)
+from glomeruli_segmentation_tpu.eval.mean_iou import mean_iou
+from glomeruli_segmentation_tpu.utils.labelme_io import lblsave
+
+
+def test_mean_iou_matches_simple_case():
+    pred = np.asarray([[0, 1], [1, 2]])
+    gt = np.asarray([[0, 1], [2, 2]])
+    m = mean_iou([pred], [gt], num_labels=3, ignore_index=255)
+    # class0: i=1 u=1; class1: i=1 u=2; class2: i=1 u=2
+    np.testing.assert_allclose(m["per_category_iou"], [1.0, 0.5, 0.5])
+    np.testing.assert_allclose(m["mean_iou"], 2 / 3)
+    np.testing.assert_allclose(m["overall_accuracy"], 3 / 4)
+    np.testing.assert_array_equal(m["total_area_pred_label"], [1, 2, 1])
+
+
+def test_mean_iou_ignore_index():
+    pred = np.asarray([[0, 1]])
+    gt = np.asarray([[255, 1]])
+    m = mean_iou([pred], [gt], num_labels=2, ignore_index=255)
+    np.testing.assert_array_equal(m["total_area_label"], [0, 1])
+    assert m["overall_accuracy"] == 1.0
+
+
+def _gtcs_tree(tmp_path, n_specimens=5, crops_per=2, size=96):
+    rng = np.random.RandomState(0)
+    root = tmp_path / "01_Todai" / "20260101"
+    for s in range(n_specimens):
+        spec = f"H16-0000{s}"
+        rgb = root / "rgb" / spec
+        lbl = root / "label" / "gtcs" / spec
+        rgb.mkdir(parents=True)
+        lbl.mkdir(parents=True)
+        for i in range(crops_per):
+            img = np.full((size, size, 3), 225, np.uint8)
+            mask = np.zeros((size, size), np.uint8)
+            cy, cx = rng.randint(30, size - 30, 2)
+            yy, xx = np.mgrid[:size, :size]
+            blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < 18 ** 2
+            img[blob] = (120, 70, 110)
+            mask[blob] = 1
+            cv2.imwrite(str(rgb / f"xmin{i}_ymin0_xmax9_ymax9.PNG"),
+                        img[:, :, ::-1])
+            lblsave(str(lbl / f"xmin{i}_ymin0_xmax9_ymax9.PNG"), mask)
+    return tmp_path
+
+
+def test_dataset_fold_split(tmp_path):
+    root = _gtcs_tree(tmp_path)
+    data_source = str(tmp_path / "01_Todai" / "20260101")
+    train = ResizedGlomerularDataset(data_source, mode="train", fold=1,
+                                     input_size=64)
+    val = ResizedGlomerularDataset(data_source, mode="val", fold=1,
+                                   input_size=64)
+    test = ResizedGlomerularDataset(data_source, mode="test", fold=1,
+                                    input_size=64)
+    assert len(train) + len(val) == len(test) == 10
+    assert len(val) == 2  # one specimen of five
+    item = train.get(0, np.random.default_rng(0))
+    assert item["pixel_values"].shape == (64, 64, 3)
+    assert item["labels"].shape == (64, 64)
+    # ImageNet normalization applied
+    assert abs(float(item["pixel_values"].mean())) < 5
+
+
+@pytest.mark.slow
+def test_segformer_train_test_chain(tmp_path):
+    from glomeruli_segmentation_tpu.cli.segformer_test import (
+        build_parser as test_parser,
+    )
+    from glomeruli_segmentation_tpu.cli.segformer_train import (
+        build_parser as train_parser,
+    )
+    from glomeruli_segmentation_tpu.pipeline.segformer_test import (
+        run_segformer_test,
+        search_best_checkpoint,
+    )
+    from glomeruli_segmentation_tpu.train.segformer_train import (
+        train_segformer,
+    )
+
+    _gtcs_tree(tmp_path, n_specimens=5, crops_per=1, size=96)
+    model_root = tmp_path / "models"
+    args = train_parser().parse_args([
+        "--site", "01_Todai", "--data_root", str(tmp_path),
+        "--data_date", "20260101", "--model_root", str(model_root),
+        "--output_dir", "exp", "--fold", "1", "--max_epoch", "2",
+        "--save_interval", "1", "--batch_size", "2", "--num_labels", "5",
+        "--input_size", "96",
+    ])
+    out_dir = train_segformer(args)
+    log = (model_root / "01_Todai" / "exp" / "fold1" / "log.txt").read_text()
+    assert "eval_mean_iou" in log
+    best = search_best_checkpoint(out_dir)
+    assert best.startswith("checkpoint-")
+
+    report_root = tmp_path / "reports"
+    targs = test_parser().parse_args([
+        "--fold", "1", "--target_site", "01_Todai", "--model_site",
+        "01_Todai", "--data_date", "20260101",
+        "--model_base_path", str(model_root),
+        "--pretrained_model", "exp", "--checkpoint", "",
+        "--report_root_path", str(report_root),
+        "--data_root", str(tmp_path), "--num_labels", "5",
+        "--input_size", "96",
+    ])
+    run_segformer_test(targs)
+    rep = (report_root / "01_Todai" / "01_Todai" / "20260101" / "exp"
+           / "fold1")
+    pixel_rows = (rep / "pred_summary_pixel.csv").read_text().splitlines()
+    assert pixel_rows[0] == ("specimen_id,filename,background,glomerulus,"
+                             "tuft,crescent,sclerosis,mIoU")
+    assert len(pixel_rows) == 6  # header + 5 crops
+    report = (rep / "summary_report.csv").read_text()
+    assert "overall_mean_iou" in report
