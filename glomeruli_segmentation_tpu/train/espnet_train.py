@@ -228,6 +228,13 @@ class EspnetTrainer:
 
         total_params = net_params(variables["params"])
         print("Total network parameters: " + str(total_params))
+        if getattr(args, "visualizeNet", False):
+            # graph rendering equivalent (reference: VisualizeGraph.make_dot,
+            # main.py:236-244): structured per-module summary
+            from ..utils.summary import model_summary
+
+            with open(os.path.join(args.savedir, "model.txt"), "w") as f:
+                f.write(model_summary(variables["params"]))
 
         tx = self.build_optimizer()
         state = {

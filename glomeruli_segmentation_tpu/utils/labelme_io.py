@@ -76,6 +76,51 @@ def lblsave(filename: str, lbl: np.ndarray, size=None) -> None:
     lbl_pil.save(filename)
 
 
+def org_lbl_save(filename: str, org: np.ndarray, label: np.ndarray) -> None:
+    """Debug figure: original + palette label + legend strip
+    (ref ``module/common/utils/my_lblsave.py:35-77``)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import gridspec
+    from matplotlib import pyplot as plt
+
+    from ..palette import LABEL_NAMES
+
+    if os.path.splitext(filename)[1] not in [".png", ".PNG"]:
+        filename += ".png"
+    if not (label.min() >= -1 and label.max() < 255):
+        raise ValueError(f"cannot save {filename}: labels outside [-1, 254]")
+    colormap = label_colormap(255)
+    org_img = PIL.Image.fromarray(org.astype(np.uint8), mode="RGB")
+    lbl_pil = PIL.Image.fromarray(label.astype(np.uint8), mode="P")
+    lbl_pil.putpalette(colormap.flatten())
+
+    plt.figure(figsize=(13, 10))
+    grid_spec = gridspec.GridSpec(2, 2, width_ratios=[5, 5],
+                                  height_ratios=[8, 2])
+    plt.subplot(grid_spec[0])
+    plt.imshow(org_img)
+    plt.axis("off")
+    plt.title("input image")
+    plt.subplot(grid_spec[1])
+    plt.imshow(lbl_pil)
+    plt.axis("off")
+    plt.title("GT(label image)")
+    label_names = np.array(LABEL_NAMES)
+    full_map = colormap[np.arange(len(label_names)).reshape(-1, 1)]
+    ax = plt.subplot(grid_spec[3])
+    plt.imshow(full_map.astype(np.uint8), interpolation="nearest")
+    ax.yaxis.tick_right()
+    plt.yticks(range(len(label_names)), label_names)
+    plt.xticks([], [])
+    ax.tick_params(width=0.0)
+    plt.savefig(filename)
+    plt.close()
+
+
 def load_labelme_json(path: str) -> Dict:
     import json
     from collections import OrderedDict
