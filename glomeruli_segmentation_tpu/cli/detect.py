@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--conf_threshold", type=float, default=0.6)
     parser.add_argument("--model_name", default="frozen_inference_graph.pb")
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--resume", action="store_true",
+                        help="skip slides already present in the timing log "
+                             "and append to existing outputs")
     return parser
 
 
@@ -66,7 +69,7 @@ def main(argv=None):
                               args.data_dir, args.output_dir,
                               args.output_file_ext, args.window_size,
                               args.overlap_ratio, args.conf_threshold,
-                              args.batch_size)
+                              args.batch_size, resume=args.resume)
     detector.split_all(backend)
 
 

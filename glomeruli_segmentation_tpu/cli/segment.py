@@ -48,6 +48,8 @@ def build_parser() -> ArgumentParser:
                              "(VisualizeResults_iou_pixel.py behaviour)")
     # TPU-native extras
     parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--skip_existing", action="store_true",
+                        help="resume: skip crops whose output JSON exists")
     parser.add_argument("--fast", action="store_true",
                         help="fused on-device preprocessing")
     parser.add_argument("--precision", default="highest",

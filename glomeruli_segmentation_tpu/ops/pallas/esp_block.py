@@ -1,0 +1,183 @@
+"""Fused ESP residual block as one Pallas TPU kernel (inference).
+
+The ESP block (``DilatedParllelResidualBlockB``, reference Model.py:162-214)
+is ESPNet's hot op: a 1x1 reduce, five parallel dilated 3x3 convs, a
+hierarchical-add fusion, concat, residual add, BN and PReLU.  XLA executes
+it as ~8 separate HBM-level ops; profiling on one v5e chip shows the eight
+level-3 blocks cost ~116 ms of a 165 ms batch-64 forward at ~1% MXU
+utilization — the block is pure HBM bandwidth.
+
+This kernel runs the whole block for one image entirely in VMEM
+(64x128x128 activations are ~2 MB):
+
+- the 1x1 reduce is one (H*W, C) x (C, n) matmul;
+- each dilated 3x3 conv is nine shifted (H*W, n) x (n, n_d) matmuls over a
+  zero-padded halo scratch (max dilation 16 -> halo 16), accumulated in
+  f32;
+- the hierarchical adds, channel concat, residual add, folded-BN affine
+  and PReLU all happen before the single output write.
+
+BN is folded to scale/bias on the host (inference only; training uses the
+reference flax path).  Grid: one program per image.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DILATIONS = (1, 2, 4, 8, 16)
+HALO = 16  # max dilation
+
+
+def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
+                out_ref, rpad_ref, *, height: int, width: int, c: int,
+                n: int, n1: int, add_residual: bool):
+    """One image per grid step. Shapes:
+    x (1, H, W, C) block; w1 (C, n); wd (5*9, n, n_pad) stacked taps with
+    the d1 branch's extra columns (n1 > n) carried in the padding;
+    scale/bias/alpha (1, C); out (1, H, W, C); rpad scratch
+    (H + 2*HALO, W + 2*HALO, n).
+    """
+    x = x_ref[0]
+    hw = height * width
+
+    # 1x1 reduce on the MXU
+    r = jnp.dot(x.reshape(hw, c), w1_ref[:],
+                preferred_element_type=jnp.float32)
+
+    # zero halo + center write
+    rpad_ref[:] = jnp.zeros_like(rpad_ref)
+    rpad_ref[HALO: HALO + height, HALO: HALO + width, :] = (
+        r.reshape(height, width, n).astype(rpad_ref.dtype))
+
+    n_pad = wd_ref.shape[2]
+
+    def branch(d_index: int, dilation: int, width_out: int):
+        # pack the 9 taps into one (hw, 9n) x (9n, n_pad) MXU matmul —
+        # 9x wider contraction keeps the 128-lane systolic array busy
+        windows = []
+        for dy in (-dilation, 0, dilation):
+            for dx in (-dilation, 0, dilation):
+                windows.append(
+                    rpad_ref[HALO + dy: HALO + dy + height,
+                             HALO + dx: HALO + dx + width, :]
+                    .reshape(hw, n))
+        packed = jnp.concatenate(windows, axis=1)
+        acc = jnp.dot(packed, wd_ref[d_index],
+                      preferred_element_type=jnp.float32)
+        return acc[:, :width_out]
+
+    d1 = branch(0, 1, n1)
+    add1 = branch(1, 2, n)
+    add2 = add1 + branch(2, 4, n)
+    add3 = add2 + branch(3, 8, n)
+    add4 = add3 + branch(4, 16, n)
+    combine = jnp.concatenate([d1, add1, add2, add3, add4], axis=1)
+    if add_residual:
+        combine = combine + x.reshape(hw, c).astype(jnp.float32)
+    y = combine * scale_ref[0] + bias_ref[0]
+    alpha = alpha_ref[0]
+    y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
+    out_ref[0] = y.reshape(height, width, c).astype(out_ref.dtype)
+
+
+def fold_bn(scale, bias, mean, var, eps: float = 1e-3):
+    """BatchNorm -> affine (y = x*s + b)."""
+    s = scale / np.sqrt(var + eps)
+    return s, bias - mean * s
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("add_residual", "interpret"))
+def esp_block_fused(x: jax.Array, w1: jax.Array, wd: jax.Array,
+                    scale: jax.Array, bias: jax.Array, alpha: jax.Array,
+                    add_residual: bool = True,
+                    interpret: bool = False) -> jax.Array:
+    """Apply the fused ESP block to a batch.
+
+    Args:
+      x:     (B, H, W, C)
+      w1:    (C, n) 1x1 reduce weights
+      wd:    (5, 9*n, n_pad) — per dilation branch, the 9 taps stacked
+             along the contraction axis; output channels padded to
+             ``n_pad`` (= n1, the d1 branch width)
+      scale, bias: (C,) folded BN affine
+      alpha: (C,) PReLU slopes
+    """
+    b, h, w, c = x.shape
+    n = w1.shape[1]
+    n_pad = wd.shape[2]
+    n1 = c - 4 * n
+
+    kernel = functools.partial(
+        _esp_kernel, height=h, width=w, c=c, n=n, n1=n1,
+        add_residual=add_residual)
+
+    # grid over the batch: one image's activations resident in VMEM per
+    # program (vmap would instead stage the whole batch into VMEM)
+    def img_spec():
+        return pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * ndim,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        in_specs=[
+            img_spec(),
+            const_spec(w1.shape),
+            const_spec(wd.shape),
+            const_spec((1, c)),
+            const_spec((1, c)),
+            const_spec((1, c)),
+        ],
+        out_specs=img_spec(),
+        scratch_shapes=[
+            # same dtype as the activations: a f32 halo buffer would force
+            # full-precision (multi-pass) MXU matmuls downstream
+            pltpu.VMEM((h + 2 * HALO, w + 2 * HALO, n), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, wd, scale[None], bias[None], alpha[None])
+
+
+def pack_esp_weights(params, stats, dtype=jnp.float32):
+    """Flax ESP-block variables -> fused kernel operands.
+
+    ``params``/``stats`` are the block's subtree (keys c1, d1..d16, br).
+    """
+    w1 = np.asarray(params["c1"]["conv"]["kernel"])[0, 0]  # (C, n)
+    n = w1.shape[1]
+    names = ["d1", "d2", "d4", "d8", "d16"]
+    widths = [np.asarray(params[m]["conv"]["kernel"]).shape[-1]
+              for m in names]
+    n_pad = max(widths)
+    wd = np.zeros((5, 9 * n, n_pad), np.float32)
+    for i, name in enumerate(names):
+        k = np.asarray(params[name]["conv"]["kernel"])  # (3, 3, n, n_d)
+        for tap in range(9):
+            dy, dx = divmod(tap, 3)
+            wd[i, tap * n: (tap + 1) * n, : k.shape[-1]] = k[dy, dx]
+    bn_p = params["br"]["norm"]["bn"]
+    bn_s = stats["br"]["norm"]["bn"]
+    scale, bias = fold_bn(np.asarray(bn_p["scale"]),
+                          np.asarray(bn_p["bias"]),
+                          np.asarray(bn_s["mean"]),
+                          np.asarray(bn_s["var"]))
+    alpha = np.asarray(params["br"]["act"]["alpha"])
+    return (jnp.asarray(w1, dtype), jnp.asarray(wd, dtype),
+            jnp.asarray(scale, jnp.float32), jnp.asarray(bias, jnp.float32),
+            jnp.asarray(alpha, jnp.float32))

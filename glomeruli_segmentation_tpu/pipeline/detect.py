@@ -108,7 +108,8 @@ class GlomusDetector(GlomusHandler):
     def __init__(self, data_category: str, target_list: str, data_dir: str,
                  output_dir: str, output_file_ext: str,
                  window_size: Optional[int], overlap_ratio: Optional[float],
-                 conf_threshold: float, batch_size: int = 8):
+                 conf_threshold: float, batch_size: int = 8,
+                 resume: bool = False):
         self.data_category = data_category
         self.set_type(data_category)
         if window_size is None or window_size == "":
@@ -128,6 +129,18 @@ class GlomusDetector(GlomusHandler):
             self.output_root_dir, self.TYPE + output_file_ext + ".csv")
         self.log_file = os.path.join(
             self.output_root_dir, self.TYPE + output_file_ext + "_log.csv")
+        # per-slide resumability: with resume=True, slides already recorded
+        # in the timing log are skipped and outputs are appended (the
+        # reference restarts long jobs by hand-editing --start/--end;
+        # SURVEY.md §5.3)
+        self.resume = resume
+        self._completed = set()
+        if resume and os.path.isfile(self.log_file):
+            with open(self.log_file) as f:
+                for line in f.readlines()[1:]:
+                    name = line.split(",")[0].strip().strip('"')
+                    if name:
+                        self._completed.add(name)
         # per-slide metadata
         self.org_slide_width = 0
         self.org_slide_height = 0
@@ -153,11 +166,16 @@ class GlomusDetector(GlomusHandler):
     # ---------------- main loops ----------------
     def split_all(self, backend: DetectorBackend):
         site_name = self.data_dir.split("/")[-2] if "/" in self.data_dir else ""
-        with open(self.output_file_path, "w") as output_file, \
-                open(self.log_file, "w") as log_file:
-            log_file.write("file,time\n")
+        mode = "a" if (self.resume and self._completed) else "w"
+        with open(self.output_file_path, mode) as output_file, \
+                open(self.log_file, mode) as log_file:
+            if mode == "w":
+                log_file.write("file,time\n")
             for entry in read_target_list(self.target_list):
                 if entry.is_comment:
+                    continue
+                if entry.file_name in self._completed:
+                    print(f"skip {entry.file_name} (already processed)")
                     continue
                 meta = entry.metadata
                 self.org_slide_width = meta.org_slide_width
@@ -209,15 +227,37 @@ class GlomusDetector(GlomusHandler):
                                  file_name, output_file)
 
     def _iter_batches(self, windows: Iterator[Tuple[int, int, np.ndarray]]):
-        """Group (i, j, image) windows into fixed-size padded batches."""
+        """Group (i, j, image) windows into fixed-size padded batches,
+        prefetching window reads on a background thread so tile decode
+        overlaps device compute (the reference reads synchronously between
+        ``sess.run`` calls)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2 * self.batch_size)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for item in windows:
+                    q.put(item)
+            finally:
+                q.put(SENTINEL)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
         buf = []
-        for item in windows:
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
             buf.append(item)
             if len(buf) == self.batch_size:
                 yield buf
                 buf = []
         if buf:
             yield buf
+        thread.join()
 
     def _run_windows(self, backend, windows, window_x, window_y, scale,
                      offset_fn, output_file, site_name, specimen_id,

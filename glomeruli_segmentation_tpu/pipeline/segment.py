@@ -169,6 +169,22 @@ def run_segment(args) -> None:
     else:
         label_image_list = [None] * len(rgb_image_list)
 
+    if getattr(args, "skip_existing", False):
+        # per-crop resumability: crops with an existing output JSON are done
+        kept = []
+        for img_name, label_name in zip(rgb_image_list, label_image_list):
+            patient_id = os.path.basename(os.path.dirname(img_name))
+            json_path = os.path.join(
+                args.savedir, patient_id,
+                os.path.basename(img_name).replace(args.img_extn, "json"))
+            if not os.path.isfile(json_path):
+                kept.append((img_name, label_name))
+        skipped = len(rgb_image_list) - len(kept)
+        if skipped:
+            print(f"skipping {skipped} crops with existing outputs")
+        rgb_image_list = [k[0] for k in kept]
+        label_image_list = [k[1] for k in kept]
+
     cfg = SegmenterConfig(
         weights=args.weights,
         classes=args.classes,

@@ -5,7 +5,9 @@ runs use the driver's bench entry points instead.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices even when the environment preselects a
+# TPU platform: the suite validates multi-chip sharding on a virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,16 @@ import pathlib
 
 import jax
 import pytest
+
+# Some environments pre-initialize a TPU backend from sitecustomize before
+# this conftest runs; force the virtual CPU mesh at the config level.
+if any(d.platform != "cpu" for d in jax.devices()):
+    jax.config.update("jax_platforms", "cpu")
+    import jax.extend.backend as _jeb
+
+    _jeb.clear_backends()
+    jax.config.update("jax_num_cpu_devices", 8)
+assert len(jax.devices()) >= 8, jax.devices()
 
 # Parity with the fp32 torch reference requires full-precision convolutions:
 # XLA's default matmul precision truncates operands to bf16-level accuracy,

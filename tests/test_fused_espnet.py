@@ -1,0 +1,60 @@
+"""Fused Pallas ESP kernel + fused inference forward parity tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from glomeruli_segmentation_tpu.models.espnet import ESPBlock, ESPNet
+from glomeruli_segmentation_tpu.ops.pallas.esp_block import (
+    esp_block_fused,
+    fold_bn,
+    pack_esp_weights,
+)
+
+
+def test_fold_bn():
+    scale = np.asarray([2.0, 1.0])
+    bias = np.asarray([1.0, -1.0])
+    mean = np.asarray([0.5, 0.0])
+    var = np.asarray([4.0, 1.0])
+    s, b = fold_bn(scale, bias, mean, var, eps=0.0)
+    x = np.asarray([3.0, 2.0])
+    want = (x - mean) / np.sqrt(var) * scale + bias
+    np.testing.assert_allclose(x * s + b, want)
+
+
+@pytest.mark.parametrize("c,h,w", [(128, 16, 32), (64, 32, 64)])
+def test_esp_block_kernel_matches_flax(c, h, w):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    block = ESPBlock(c)
+    variables = block.init(jax.random.key(0), jnp.asarray(x))
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 2.0, a.shape), a.dtype),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    ref = np.asarray(block.apply(variables, jnp.asarray(x)))
+    packed = pack_esp_weights(variables["params"], variables["batch_stats"])
+    out = np.asarray(esp_block_fused(jnp.asarray(x), *packed,
+                                     interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_fused_full_net_matches_flax(reference_models_dir):
+    from glomeruli_segmentation_tpu.convert.espnet_import import (
+        load_espnet_variables,
+    )
+    from glomeruli_segmentation_tpu.models.espnet_fused import FusedESPNet
+
+    variables = load_espnet_variables(
+        str(reference_models_dir / "espnet_fold1.pth"))
+    model = ESPNet(5, 2, 8)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 64, 128, 3).astype(np.float32)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x)))
+    fused = FusedESPNet(variables, interpret=True)
+    out = np.asarray(fused(jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-2)
+    np.testing.assert_array_equal(out.argmax(-1), ref.argmax(-1))
