@@ -33,25 +33,45 @@ def bench_ours() -> float:
 
     from glomeruli_segmentation_tpu.models.espnet import ESPNet
 
-    model = ESPNet(classes=5, p=2, q=8)
     rng = jax.random.key(0)
     x = jax.random.uniform(rng, (BATCH, H, W, 3), jnp.float32)
-    variables = model.init(jax.random.key(1), x[:1])
-    # fast path: bf16 compute, fp32 params
-    variables = jax.tree.map(lambda a: jnp.asarray(a), variables)
 
-    @jax.jit
-    def forward(v, batch):
-        logits = model.apply(v, batch.astype(jnp.bfloat16))
-        return jnp.argmax(logits, axis=-1)
+    fold1 = "/root/reference/models/espnet_fold1.pth"
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu and os.path.isfile(fold1):
+        # production fast path: Pallas-fused ESP blocks, bf16 compute
+        from glomeruli_segmentation_tpu.convert.espnet_import import (
+            load_espnet_variables,
+        )
+        from glomeruli_segmentation_tpu.models.espnet_fused import (
+            FusedESPNet,
+        )
 
-    out = forward(variables, x)
+        fused = FusedESPNet(load_espnet_variables(fold1))
+
+        @jax.jit
+        def forward(batch):
+            return jnp.argmax(fused(batch.astype(jnp.bfloat16)), axis=-1)
+
+        call = lambda: forward(x)
+    else:
+        model = ESPNet(classes=5, p=2, q=8)
+        variables = model.init(jax.random.key(1), x[:1])
+
+        @jax.jit
+        def forward(v, batch):
+            logits = model.apply(v, batch.astype(jnp.bfloat16))
+            return jnp.argmax(logits, axis=-1)
+
+        call = lambda: forward(variables, x)
+
+    out = call()
     jax.block_until_ready(out)
     for _ in range(WARMUP):
-        jax.block_until_ready(forward(variables, x))
+        jax.block_until_ready(call())
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = forward(variables, x)
+        out = call()
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt

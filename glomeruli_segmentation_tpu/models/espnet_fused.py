@@ -49,9 +49,14 @@ class FusedESPNet:
     """Packs an ESPNet variable tree once; applies the fused forward."""
 
     def __init__(self, variables: Dict[str, Any], classes: int = 5,
-                 p: int = 2, q: int = 8, interpret: bool = False):
+                 p: int = 2, q: int = 8, interpret: bool = False,
+                 fuse_level2: bool = False):
+        # level-3 (64x128x128) compiles fast and gains 2.8x from the fused
+        # kernel; the level-2 shape (128x256x64, n=12) is pathologically
+        # slow in Mosaic codegen, so it defaults to the XLA path
         self.classes, self.p, self.q = classes, p, q
         self.interpret = interpret
+        self.fuse_level2 = fuse_level2
         params = variables["params"]
         stats = variables["batch_stats"]
         self.has_decoder = "encoder" in params
@@ -84,17 +89,53 @@ class FusedESPNet:
             "alpha": jnp.asarray(p["act"]["alpha"]),
         }
 
+    def _pack_esp_raw(self, p, s):
+        """Raw kernels + folded affine for the XLA (unfused) block path."""
+        scale, bias = _pack_affine({"bn": p["br"]["norm"]["bn"]},
+                                   {"bn": s["br"]["norm"]["bn"]})
+        return {
+            "c1": jnp.asarray(p["c1"]["conv"]["kernel"]),
+            "branches": [jnp.asarray(p[m]["conv"]["kernel"])
+                         for m in ("d1", "d2", "d4", "d8", "d16")],
+            "scale": scale, "bias": bias,
+            "alpha": jnp.asarray(p["br"]["act"]["alpha"]),
+        }
+
+    def _esp_xla(self, pack, x):
+        reduced = _conv(x, pack["c1"])
+        outs = [_conv(reduced, k, dilation=d)
+                for k, d in zip(pack["branches"], (1, 2, 4, 8, 16))]
+        add1 = outs[1]
+        add2 = add1 + outs[2]
+        add3 = add2 + outs[3]
+        add4 = add3 + outs[4]
+        combine = jnp.concatenate([outs[0], add1, add2, add3, add4], -1)
+        combine = x + combine
+        return _affine_prelu(combine, pack["scale"], pack["bias"],
+                             pack["alpha"])
+
     def _pack_encoder(self, p, s):
         enc = {
             "level1": self._pack_cbr(p["level1"], s["level1"]),
             "b1": self._pack_br(p["b1"], s["b1"]),
             "down2": self._pack_down(p["down2"], s["down2"]),
-            "level2": [pack_esp_weights(p[f"level2_{i}"], s[f"level2_{i}"])
-                       for i in range(self.p)],
+            # stack the blocks of a level: the forward scans over the
+            # leading block axis so the Pallas kernel appears once per
+            # level in the XLA program (10 inlined call sites would
+            # multiply AOT compile time)
+            "level2": jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[pack_esp_weights(p[f"level2_{i}"], s[f"level2_{i}"])
+                  for i in range(self.p)]),
+            "level2_raw": [self._pack_esp_raw(p[f"level2_{i}"],
+                                              s[f"level2_{i}"])
+                           for i in range(self.p)],
             "b2": self._pack_br(p["b2"], s["b2"]),
             "down3": self._pack_down(p["down3"], s["down3"]),
-            "level3": [pack_esp_weights(p[f"level3_{i}"], s[f"level3_{i}"])
-                       for i in range(self.q)],
+            "level3": jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[pack_esp_weights(p[f"level3_{i}"], s[f"level3_{i}"])
+                  for i in range(self.q)]),
             "b3": self._pack_br(p["b3"], s["b3"]),
             "classifier": jnp.asarray(p["classifier"]["conv"]["kernel"]),
         }
@@ -140,39 +181,54 @@ class FusedESPNet:
         return _affine_prelu(combine, pack["scale"], pack["bias"],
                              pack["alpha"])
 
-    def _esp(self, pack, x):
-        w1, wd, scale, bias, alpha = pack
-        return esp_block_fused(x, w1.astype(x.dtype), wd.astype(x.dtype),
-                               scale, bias, alpha, add_residual=True,
-                               interpret=self.interpret)
+    def _esp_chain(self, stacked_pack, x):
+        """Run a level's blocks as a scan over the stacked weights: one
+        Pallas call site regardless of depth."""
+        interpret = self.interpret
 
-    def encoder_forward(self, x):
-        enc = self.enc
+        def body(h, pack):
+            w1, wd, scale, bias, alpha = pack
+            h = esp_block_fused(h, w1.astype(h.dtype), wd.astype(h.dtype),
+                                scale, bias, alpha, add_residual=True,
+                                interpret=interpret)
+            return h, None
+
+        out, _ = jax.lax.scan(body, x, stacked_pack)
+        return out
+
+    def encoder_forward(self, x, enc=None):
+        enc = self.enc if enc is None else enc
         output0 = self._cbr(enc["level1"], x, stride=2)
         inp1 = avg_pool_3x3_s2(x)
         inp2 = avg_pool_3x3_s2(inp1)
         output0_cat = self._br(enc["b1"],
                                jnp.concatenate([output0, inp1], -1))
         output1_0 = self._down(enc["down2"], output0_cat)
-        out = output1_0
-        for pack in enc["level2"]:
-            out = self._esp(pack, out)
+        if self.fuse_level2:
+            out = self._esp_chain(enc["level2"], output1_0)
+        else:
+            out = output1_0
+            for pack in enc["level2_raw"]:
+                out = self._esp_xla(pack, out)
         output1_cat = self._br(
             enc["b2"], jnp.concatenate([out, output1_0, inp2], -1))
         output2_0 = self._down(enc["down3"], output1_cat)
-        out = output2_0
-        for pack in enc["level3"]:
-            out = self._esp(pack, out)
+        out = self._esp_chain(enc["level3"], output2_0)
         output2_cat = self._br(enc["b3"],
                                jnp.concatenate([output2_0, out], -1))
         logits = _conv(output2_cat, enc["classifier"])
         return logits, output0_cat, output1_cat
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        enc_logits, output0_cat, output1_cat = self.encoder_forward(x)
-        if not self.has_decoder:
+        return self.apply_packed(self.enc,
+                                 self.dec if self.has_decoder else None, x)
+
+    def apply_packed(self, enc, dec, x: jax.Array) -> jax.Array:
+        """Forward from explicit packed trees (used by the fold-scan
+        ensemble, which stacks packs along a fold axis)."""
+        enc_logits, output0_cat, output1_cat = self.encoder_forward(x, enc)
+        if dec is None:
             return enc_logits
-        dec = self.dec
         y = enc_logits * dec["br_scale"].astype(x.dtype) + \
             dec["br_bias"].astype(x.dtype)
         output2_c = upconv2x2(y, dec["up_l3"])

@@ -59,8 +59,10 @@ class EnsembleSegmenter:
     replicated); batch_size must divide by the data-axis size.
     """
 
-    def __init__(self, config: EnsembleConfig, mesh=None):
+    def __init__(self, config: EnsembleConfig, mesh=None,
+                 engine: str = "xla", interpret: bool = False):
         self.config = config
+        self.engine = engine
         trees = []
         means, stds = [], []
         for ckpt, fold in zip(config.checkpoints, config.folds):
@@ -72,6 +74,17 @@ class EnsembleSegmenter:
         self.mean = jnp.asarray(means, jnp.float32)  # (F, 3) BGR
         self.std = jnp.asarray(stds, jnp.float32)
         self.model = ESPNet(config.classes, config.p, config.q)
+        if engine == "fused":
+            # Pallas-fused forward: packs stacked along a fold axis and the
+            # forward scans over folds (one kernel call site total)
+            from ..models.espnet_fused import FusedESPNet
+
+            nets = [FusedESPNet(tree, config.classes, config.p, config.q,
+                                interpret=interpret) for tree in trees]
+            self._fused_template = nets[0]
+            self._fused_packs = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[{"enc": n.enc, "dec": n.dec} for n in nets])
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -97,6 +110,21 @@ class EnsembleSegmenter:
                                            cfg.in_height, cfg.in_width)
 
         resized = jax.vmap(resize_one)(padded, heights, widths)  # (B, H, W, 3)
+
+        if self.engine == "fused":
+            def body(acc, inputs):
+                pack, mean, std = inputs
+                x = ((resized - mean) / std / 255.0).astype(cfg.compute_dtype)
+                with jax.default_matmul_precision(cfg.precision):
+                    logits = self._fused_template.apply_packed(
+                        pack["enc"], pack["dec"], x)
+                return acc + jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1), None
+
+            init = jnp.zeros(resized.shape[:3] + (cfg.classes,), jnp.float32)
+            probs_sum, _ = jax.lax.scan(
+                body, init, (self._fused_packs, self.mean, self.std))
+            return jnp.argmax(probs_sum, axis=-1).astype(jnp.uint8)
 
         def fold_forward(variables, mean, std):
             x = (resized - mean) / std / 255.0

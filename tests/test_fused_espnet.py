@@ -42,6 +42,29 @@ def test_esp_block_kernel_matches_flax(c, h, w):
 
 
 @pytest.mark.slow
+def test_fused_ensemble_engine_matches_xla(reference_models_dir):
+    from glomeruli_segmentation_tpu.pipeline.fused import (
+        EnsembleConfig,
+        EnsembleSegmenter,
+    )
+
+    ckpts = [str(reference_models_dir / f"espnet_fold{k}.pth")
+             for k in (1, 2)]
+    cfg = EnsembleConfig(checkpoints=ckpts, folds=(1, 2), batch_size=2,
+                         compute_dtype="float32", precision="highest")
+    rng = np.random.RandomState(0)
+    padded = np.clip(
+        np.full((2, 256, 320, 3), (200, 170, 205))
+        + rng.randint(-20, 20, (2, 256, 320, 3)), 0, 255).astype(np.uint8)
+    hs = np.full(2, 256, np.int32)
+    ws = np.full(2, 320, np.int32)
+    a = EnsembleSegmenter(cfg).segment_batch_padded(padded, hs, ws)
+    b = EnsembleSegmenter(cfg, engine="fused",
+                          interpret=True).segment_batch_padded(padded, hs, ws)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_fused_full_net_matches_flax(reference_models_dir):
     from glomeruli_segmentation_tpu.convert.espnet_import import (
         load_espnet_variables,
