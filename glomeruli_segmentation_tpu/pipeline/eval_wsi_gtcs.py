@@ -140,6 +140,67 @@ class GtcsWsiEvaluator(AnnotationHandler):
                      xmin // MAGNIFICATION: xmax // MAGNIFICATION] = overlayed
         return whole_img_np
 
+    def generate_wsi_pred_gt_and_eval(self, file_key: str):
+        """Per-slide stitch + micro metrics, GT boxes at level-0 names
+        (eval_wsi_segmentation_gtcs.py:132-191)."""
+        import cv2
+
+        seg_gt_l = glob.glob(
+            os.path.join(self.seg_gt_image_dir, file_key, "*.PNG"))
+        gt_list = self.read_gt_list(seg_gt_l)
+        seg_pred_l = glob.glob(
+            os.path.join(self.seg_pred_image_dir, file_key, "*.PNG"))
+        slide_path = find_slide(self.wsi_dir, file_key)
+        margin_x, margin_y, slide_width, slide_height = \
+            self.read_slide_and_cal_margin(slide_path)
+        iou_eval = IouEval(self.nclasses)
+        whole_gt = np.zeros((slide_height // MAGNIFICATION,
+                             slide_width // MAGNIFICATION, 3), dtype=int)
+        whole_pred = np.zeros_like(whole_gt)
+        for xmin, ymin, xmax, ymax in iter_windows(
+                slide_width, slide_height, self.window_size,
+                self.compat_window_bug):
+            if ((xmax - xmin) // MAGNIFICATION <= 0
+                    or (ymax - ymin) // MAGNIFICATION <= 0):
+                continue
+            gt_np = self.overlay(gt_list, 1, margin_x, margin_y, seg_gt_l,
+                                 xmin, ymin, xmax, ymax, "gt")
+            pred_np = self.overlay(self.detected_glomus_list[file_key], 1,
+                                   margin_x, margin_y, seg_pred_l, xmin,
+                                   ymin, xmax, ymax, "pred")
+            iou_eval.add_batch(pred_np, gt_np)
+            self.iou_eval_val.add_batch(pred_np, gt_np)
+            whole_gt = self.generate_whole_img([xmin, ymin, xmax, ymax],
+                                               whole_gt, gt_np)
+            whole_pred = self.generate_whole_img([xmin, ymin, xmax, ymax],
+                                                 whole_pred, pred_np)
+        if not self.no_save:
+            cv2.imwrite(os.path.join(self.output_dir, file_key + "_gt.jpg"),
+                        whole_gt)
+            cv2.imwrite(os.path.join(self.output_dir, file_key + "_pred.jpg"),
+                        whole_pred)
+        return iou_eval.get_metric_micro()
+
+    def scan_files(self) -> None:
+        """GT-eval mode over the target list
+        (eval_wsi_segmentation_gtcs.py:71-120)."""
+        with open(self.target_list) as f:
+            lines = f.readlines()
+        end = len(lines) if (self.end == 0 or self.end > len(lines)) else self.end
+        with open(os.path.join(self.output_dir, self.output_file),
+                  "w") as out_f:
+            for i in range(self.start, end):
+                patient_id = lines[i].strip().split(",")[0].split(os.sep)[0]
+                if patient_id not in self.detected_glomus_list:
+                    continue
+                print("Analyzing :{}".format(patient_id))
+                row = self.generate_wsi_pred_gt_and_eval(patient_id)
+                out_f.write("{}\t{}\t{}\t{}\t{}\t{}\t{}\n".format(patient_id,
+                                                                  *row))
+                print("{}\t{}\t{}\t{}\t{}\t{}\t{}".format(patient_id, *row))
+            total = self.iou_eval_val.get_metric_micro()
+            out_f.write("total\t{}\t{}\t{}\t{}\t{}\t{}".format(*total))
+
     def generate_pred_wsi(self) -> None:
         """Evaluate + stitch every detected specimen
         (eval_wsi_segmentation_gtcs.py:359-436; GT coords parsed at 1/8
