@@ -49,13 +49,18 @@ def build_parser() -> ArgumentParser:
     # TPU-native extras
     parser.add_argument("--batch_size", default=8, type=int)
     parser.add_argument("--skip_existing", action="store_true",
-                        help="resume: skip crops whose output JSON exists")
+                        help="resume: skip crops whose output JSON exists. "
+                             "Note: summary CSVs are rewritten and cover "
+                             "only the crops processed in this run")
     parser.add_argument("--fast", action="store_true",
                         help="fused on-device preprocessing")
     parser.add_argument("--precision", default="highest",
                         choices=["default", "high", "highest"],
                         help="matmul precision; 'highest' matches the fp32 "
                              "reference, 'default' uses fast bf16 MXU passes")
+    parser.add_argument("--engine", default="xla", choices=["xla", "fused"],
+                        help="'fused' runs ESP blocks through the Pallas "
+                             "kernel (TPU fast path)")
     return parser
 
 

@@ -60,9 +60,11 @@ class EnsembleSegmenter:
     """
 
     def __init__(self, config: EnsembleConfig, mesh=None,
-                 engine: str = "xla", interpret: bool = False):
+                 engine: str = "xla", interpret: Optional[bool] = None):
         self.config = config
         self.engine = engine
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
         trees = []
         means, stds = [], []
         for ckpt, fold in zip(config.checkpoints, config.folds):

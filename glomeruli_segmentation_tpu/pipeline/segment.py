@@ -56,6 +56,9 @@ class SegmenterConfig:
     precision: str = "highest"
     device_preprocess: bool = False
     compute_dtype: str = "float32"
+    # 'fused' runs the ESP blocks through the Pallas kernel (inference-only
+    # fast path, ~1.8x on TPU); 'xla' is the flax reference path
+    engine: str = "xla"
 
 
 class EspnetSegmenter:
@@ -85,6 +88,15 @@ class EspnetSegmenter:
         self.variables = jax.tree.map(jnp.asarray, state_dict_to_variables(sd))
         cls = ESPNet if config.decoder else ESPNetEncoder
         self.model = cls(classes=config.classes, p=config.p, q=config.q)
+        self._fused = None
+        if config.engine == "fused":
+            from ..models.espnet_fused import FusedESPNet
+
+            # Pallas compiles on TPU; interpret elsewhere
+            interpret = jax.devices()[0].platform == "cpu"
+            self._fused = FusedESPNet(self.variables, config.classes,
+                                      config.p, config.q,
+                                      interpret=interpret)
         self._mean_std = jnp.asarray(
             np.stack([np.asarray(config.mean, np.float32),
                       np.asarray(config.std, np.float32)]))
@@ -95,7 +107,10 @@ class EspnetSegmenter:
         cfg = self.config
         with jax.default_matmul_precision(cfg.precision):
             x = batch.astype(cfg.compute_dtype)
-            logits = self.model.apply(self.variables, x)
+            if self._fused is not None:
+                logits = self._fused(x)
+            else:
+                logits = self.model.apply(self.variables, x)
             if not cfg.decoder:
                 # torch nn.Upsample(scale_factor=8, mode='bilinear'),
                 # VisualizeResults_iou.py:125-126,258-261
@@ -198,6 +213,7 @@ def run_segment(args) -> None:
         batch_size=getattr(args, "batch_size", 8),
         device_preprocess=getattr(args, "fast", False),
         precision=getattr(args, "precision", "highest"),
+        engine=getattr(args, "engine", "xla"),
     )
     segmenter = EspnetSegmenter(cfg)
 
