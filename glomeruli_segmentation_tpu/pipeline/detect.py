@@ -49,19 +49,22 @@ class JaxDetectorBackend(DetectorBackend):
     """FasterRCNN-based backend; one jitted program per window geometry."""
 
     def __init__(self, variables, config=None, batch_size: int = 8,
-                 score_threshold: float = 0.0):
+                 score_threshold: float = 0.0,
+                 compute_dtype: str = "bfloat16"):
         from ..models.faster_rcnn import FasterRCNN, FasterRCNNConfig
 
         self.base_config = config or FasterRCNNConfig()
         self.variables = variables
         self.batch_size = batch_size
         self.score_threshold = score_threshold
+        self.compute_dtype = compute_dtype
         self._compiled = {}
 
     def _get_fn(self, h: int, w: int):
         import dataclasses
 
         import jax
+        import jax.numpy as jnp
 
         from ..models.faster_rcnn import FasterRCNN, build_anchors
 
@@ -70,10 +73,11 @@ class JaxDetectorBackend(DetectorBackend):
             cfg = dataclasses.replace(self.base_config, image_size=(h, w))
             model = FasterRCNN(cfg)
             anchors = build_anchors(cfg)
+            dtype = jnp.dtype(self.compute_dtype)
 
             @jax.jit
             def fn(variables, images):
-                return model.apply(variables, images.astype(np.float32),
+                return model.apply(variables, images.astype(dtype),
                                    anchors, method=FasterRCNN.detect)
 
             self._compiled[key] = fn
