@@ -19,6 +19,15 @@ This kernel runs the whole block for one image entirely in VMEM
 
 BN is folded to scale/bias on the host (inference only; training uses the
 reference flax path).  Grid: one program per image.
+
+Mosaic constraint (measured on v5e): per-program spatial extent H*W must
+stay <= 8192 — larger extents (level-2's 128x256, or 64x256 / 128x128)
+push the (H, W, n) -> (H*W, n) relayout past a compile-time wall (>>9 min
+remote AOT), independent of channel count or tap packing.  Level-3
+(64x128) sits exactly at the wall and compiles in ~40 s.  Tiling both
+axes would need 32-px halos on each side (~2.7x redundant compute at
+legal tile sizes), which erases the kernel's 2.8x win — so level-2 runs
+the XLA path (see models/espnet_fused.py).
 """
 from __future__ import annotations
 
@@ -37,7 +46,8 @@ HALO = 16  # max dilation
 
 def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
                 out_ref, rpad_ref, *, height: int, width: int, c: int,
-                n: int, n1: int, add_residual: bool):
+                n: int, n1: int, add_residual: bool,
+                pack_taps: bool = True):
     """One image per grid step. Shapes:
     x (1, H, W, C) block; w1 (C, n); wd (5*9, n, n_pad) stacked taps with
     the d1 branch's extra columns (n1 > n) carried in the padding;
@@ -59,18 +69,32 @@ def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
     n_pad = wd_ref.shape[2]
 
     def branch(d_index: int, dilation: int, width_out: int):
-        # pack the 9 taps into one (hw, 9n) x (9n, n_pad) MXU matmul —
-        # 9x wider contraction keeps the 128-lane systolic array busy
-        windows = []
+        if pack_taps:
+            # pack the 9 taps into one (hw, 9n) x (9n, n_pad) MXU matmul —
+            # 9x wider contraction keeps the 128-lane systolic array busy
+            windows = []
+            for dy in (-dilation, 0, dilation):
+                for dx in (-dilation, 0, dilation):
+                    windows.append(
+                        rpad_ref[HALO + dy: HALO + dy + height,
+                                 HALO + dx: HALO + dx + width, :]
+                        .reshape(hw, n))
+            packed = jnp.concatenate(windows, axis=1)
+            acc = jnp.dot(packed, wd_ref[d_index],
+                          preferred_element_type=jnp.float32)
+            return acc[:, :width_out]
+        # tap-by-tap accumulation (compiles faster in Mosaic for some shapes)
+        acc = None
+        tap = 0
         for dy in (-dilation, 0, dilation):
             for dx in (-dilation, 0, dilation):
-                windows.append(
-                    rpad_ref[HALO + dy: HALO + dy + height,
-                             HALO + dx: HALO + dx + width, :]
-                    .reshape(hw, n))
-        packed = jnp.concatenate(windows, axis=1)
-        acc = jnp.dot(packed, wd_ref[d_index],
-                      preferred_element_type=jnp.float32)
+                window = rpad_ref[HALO + dy: HALO + dy + height,
+                                  HALO + dx: HALO + dx + width, :]
+                part = jnp.dot(window.reshape(hw, n),
+                               wd_ref[d_index, tap * n: (tap + 1) * n],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+                tap += 1
         return acc[:, :width_out]
 
     d1 = branch(0, 1, n1)
@@ -94,11 +118,13 @@ def fold_bn(scale, bias, mean, var, eps: float = 1e-3):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("add_residual", "interpret"))
+                   static_argnames=("add_residual", "interpret",
+                                    "pack_taps"))
 def esp_block_fused(x: jax.Array, w1: jax.Array, wd: jax.Array,
                     scale: jax.Array, bias: jax.Array, alpha: jax.Array,
                     add_residual: bool = True,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    pack_taps: bool = True) -> jax.Array:
     """Apply the fused ESP block to a batch.
 
     Args:
@@ -117,7 +143,7 @@ def esp_block_fused(x: jax.Array, w1: jax.Array, wd: jax.Array,
 
     kernel = functools.partial(
         _esp_kernel, height=h, width=w, c=c, n=n, n1=n1,
-        add_residual=add_residual)
+        add_residual=add_residual, pack_taps=pack_taps)
 
     # grid over the batch: one image's activations resident in VMEM per
     # program (vmap would instead stage the whole batch into VMEM)
