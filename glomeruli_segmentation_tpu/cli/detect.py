@@ -28,10 +28,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already present in the timing log "
                              "and append to existing outputs")
+    # OD-API post-processing knobs (frozen-graph path only; defaults match
+    # the OD-API sample faster_rcnn_inception_v2 pipeline config)
+    parser.add_argument("--min_dimension", type=int, default=600,
+                        help="keep_aspect_ratio_resizer min dimension")
+    parser.add_argument("--max_dimension", type=int, default=1024,
+                        help="keep_aspect_ratio_resizer max dimension")
+    parser.add_argument("--max_proposals", type=int, default=300,
+                        help="first-stage max proposals")
     return parser
 
 
-def load_backend(model_dir: str, model_name: str, batch_size: int):
+def load_backend(model_dir: str, model_name: str, batch_size: int,
+                 od_api_overrides=None):
     from ..pipeline.detect import JaxDetectorBackend
 
     native_ckpt = os.path.join(model_dir, "detector.ckpt.pth")
@@ -52,11 +61,20 @@ def load_backend(model_dir: str, model_name: str, batch_size: int):
 
     pb_path = os.path.join(model_dir, model_name)
     if os.path.isfile(pb_path):
-        raise SystemExit(
-            f"{pb_path}: automatic frozen-graph import requires a weight "
-            "mapping for its architecture; extract constants with "
-            "glomeruli_segmentation_tpu.convert.pb_import and train/convert "
-            "a native detector checkpoint (detector.ckpt.pth)")
+        # the reference's downloaded OD-API export (example/README.md:20-24):
+        # constants are extracted and assembled into the native inception_v2
+        # Faster R-CNN (convert/pb_import.py, models/od_api_frcnn.py)
+        from ..convert.pb_import import UnmappedWeightsError
+        from ..pipeline.detect import ODAPIDetectorBackend
+
+        try:
+            return ODAPIDetectorBackend(pb_path, batch_size,
+                                        **(od_api_overrides or {}))
+        except UnmappedWeightsError as e:
+            raise SystemExit(
+                f"{pb_path}: not an OD-API inception_v2 Faster R-CNN "
+                f"export ({e}); train/convert a native detector checkpoint "
+                "(detector.ckpt.pth) instead")
     raise SystemExit(f"no detector model found in {model_dir}")
 
 
@@ -64,7 +82,11 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from ..pipeline.detect import GlomusDetector
 
-    backend = load_backend(args.model, args.model_name, args.batch_size)
+    backend = load_backend(
+        args.model, args.model_name, args.batch_size,
+        od_api_overrides={"min_dimension": args.min_dimension,
+                          "max_dimension": args.max_dimension,
+                          "max_proposals": args.max_proposals})
     detector = GlomusDetector(args.data_category, args.target_list,
                               args.data_dir, args.output_dir,
                               args.output_file_ext, args.window_size,

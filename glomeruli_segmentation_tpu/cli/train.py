@@ -34,6 +34,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--p", default=2, type=int)
     parser.add_argument("--q", default=8, type=int)
     parser.add_argument("--resumeLoc", default="checkpoint.pth.tar")
+    # TPU-native extras
+    parser.add_argument("--weight_decay", type=float, default=5e-4,
+                        help="coupled L2 weight decay (reference default "
+                             "5e-4, module/espnet/train/main.py:382)")
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard batches over an N-device mesh "
+                             "(0 = single device, -1 = all devices)")
     return parser
 
 

@@ -156,3 +156,161 @@ def load_frozen_graph_constants(path: str) -> Dict[str, np.ndarray]:
             if op == "Const" and "value" in attrs:
                 consts[name] = attrs["value"]
     return consts
+
+
+# ---------------------------------------------------------------------------
+# TF Object Detection API export -> parameter tree for ODAPIFasterRCNN
+# ---------------------------------------------------------------------------
+#
+# The reference's download (example/README.md:20-24) is a standard OD-API
+# ``export_inference_graph`` Faster R-CNN with the slim inception_v2 feature
+# extractor (the upstream jinseikenai/glomeruli_detection training code,
+# cloned at docker/gpu.dockerfile:77-80).  Variable layout:
+#
+#   FirstStageFeatureExtractor/InceptionV2/<layer>/weights + BatchNorm/*
+#   Conv/{weights,biases}                          (RPN 3x3 conv, relu6)
+#   FirstStageBoxPredictor/{BoxEncodingPredictor,ClassPredictor}/{weights,biases}
+#   SecondStageFeatureExtractor/InceptionV2/Mixed_5{a,b,c}/...
+#   SecondStageBoxPredictor/{BoxEncodingPredictor,ClassPredictor}/{weights,biases}
+#
+# Batch norm (no gamma: slim ``scale=False``) is folded into each conv's
+# kernel/bias here: inference never updates the moving stats, so the folded
+# conv is bit-equivalent math with fewer HBM round-trips on TPU.
+
+_BN_EPSILON = 0.001  # slim batch_norm default epsilon used by the extractor
+
+_FIRST = "FirstStageFeatureExtractor/InceptionV2/"
+_SECOND = "SecondStageFeatureExtractor/InceptionV2/"
+
+# conv layer scopes inside each trunk, in forward order (widths come from
+# the consts themselves, so any depth_multiplier export works)
+_TRUNK_PREFIXES = ("Conv2d_", "Mixed_")
+
+
+class UnmappedWeightsError(ValueError):
+    """A weight-bearing const did not map onto the detector — the graph is
+    not the expected OD-API inception_v2 layout."""
+
+
+def _fold_bn(consts: Dict[str, np.ndarray], scope: str, w: np.ndarray,
+             consumed: set, eps: float = _BN_EPSILON):
+    """Fold ``<scope>/BatchNorm`` stats (or plain biases) into (w, b)."""
+    bn_beta = scope + "/BatchNorm/beta"
+    if bn_beta in consts:
+        beta = consts[bn_beta].astype(np.float64)
+        mean = consts[scope + "/BatchNorm/moving_mean"].astype(np.float64)
+        var = consts[scope + "/BatchNorm/moving_variance"].astype(np.float64)
+        consumed.update({bn_beta, scope + "/BatchNorm/moving_mean",
+                         scope + "/BatchNorm/moving_variance"})
+        gamma_name = scope + "/BatchNorm/gamma"
+        gamma = 1.0
+        if gamma_name in consts:
+            gamma = consts[gamma_name].astype(np.float64)
+            consumed.add(gamma_name)
+        scale = gamma / np.sqrt(var + eps)
+        w = (w.astype(np.float64) * scale).astype(np.float32)
+        b = (beta - mean * scale).astype(np.float32)
+        return w, b
+    bias_name = scope + "/biases"
+    if bias_name in consts:
+        consumed.add(bias_name)
+        return w.astype(np.float32), consts[bias_name].astype(np.float32)
+    return w.astype(np.float32), np.zeros(w.shape[-1], np.float32)
+
+
+def _conv_entry(consts, scope, consumed):
+    w_name = scope + "/weights"
+    if w_name not in consts:
+        raise UnmappedWeightsError(f"missing conv weights: {w_name}")
+    consumed.add(w_name)
+    w, b = _fold_bn(consts, scope, consts[w_name], consumed)
+    return {"w": w, "b": b}
+
+
+def _trunk_params(consts, prefix, consumed):
+    """Collect every conv under ``prefix`` into a nested tree keyed by the
+    path relative to the trunk (e.g. Mixed_3b/Branch_0/Conv2d_0a_1x1)."""
+    tree: Dict = {}
+    scopes = set()
+    for name in consts:
+        if not name.startswith(prefix):
+            continue
+        rel = name[len(prefix):]
+        # strip the variable suffix to recover the conv scope
+        for suffix in ("/weights", "/depthwise_weights", "/pointwise_weights",
+                       "/biases", "/BatchNorm/beta", "/BatchNorm/gamma",
+                       "/BatchNorm/moving_mean", "/BatchNorm/moving_variance"):
+            if rel.endswith(suffix):
+                scopes.add(rel[: -len(suffix)])
+                break
+    for rel in sorted(scopes):
+        full = prefix + rel
+        parts = rel.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        leaf_name = parts[-1]
+        if full + "/depthwise_weights" in consts:  # separable stem
+            dw = consts[full + "/depthwise_weights"].astype(np.float32)
+            pw = consts[full + "/pointwise_weights"]
+            consumed.update({full + "/depthwise_weights",
+                             full + "/pointwise_weights"})
+            pw, b = _fold_bn(consts, full, pw, consumed)
+            node[leaf_name] = {"dw": dw, "pw": pw, "b": b}
+        else:
+            node[leaf_name] = _conv_entry(consts, full, consumed)
+    return tree
+
+
+def assemble_od_api_params(consts: Dict[str, np.ndarray]):
+    """Map extracted frozen-graph constants onto the ODAPIFasterRCNN tree.
+
+    Returns ``(params, num_classes)``.  Raises
+    :class:`UnmappedWeightsError` when weight-bearing consts exist that the
+    mapping did not consume (unexpected architecture), or required pieces
+    are missing.
+    """
+    consumed: set = set()
+    params = {
+        "first": _trunk_params(consts, _FIRST, consumed),
+        "second": _trunk_params(consts, _SECOND, consumed),
+        "rpn_conv": _conv_entry(consts, "Conv", consumed),
+        "rpn_box": _conv_entry(
+            consts, "FirstStageBoxPredictor/BoxEncodingPredictor", consumed),
+        "rpn_cls": _conv_entry(
+            consts, "FirstStageBoxPredictor/ClassPredictor", consumed),
+        "fc_box": _conv_entry(
+            consts, "SecondStageBoxPredictor/BoxEncodingPredictor", consumed),
+        "fc_cls": _conv_entry(
+            consts, "SecondStageBoxPredictor/ClassPredictor", consumed),
+    }
+    for required in ("Conv2d_1a_7x7", "Mixed_3b", "Mixed_4e"):
+        if required not in params["first"]:
+            raise UnmappedWeightsError(
+                f"first-stage trunk is missing {required}; "
+                "not an inception_v2 OD-API export")
+    for required in ("Mixed_5a", "Mixed_5b", "Mixed_5c"):
+        if required not in params["second"]:
+            raise UnmappedWeightsError(
+                f"second-stage trunk is missing {required}")
+
+    # coverage: every weight-bearing const must have been consumed
+    weight_suffixes = ("/weights", "/biases", "/depthwise_weights",
+                       "/pointwise_weights", "/beta", "/gamma",
+                       "/moving_mean", "/moving_variance")
+    leftover = [n for n in consts
+                if n.endswith(weight_suffixes) and n not in consumed]
+    if leftover:
+        raise UnmappedWeightsError(
+            "unmapped weight consts (unexpected architecture): "
+            + ", ".join(sorted(leftover)[:20]))
+
+    num_classes = int(params["fc_cls"]["b"].shape[-1]) - 1
+    if num_classes < 1:
+        raise UnmappedWeightsError("ClassPredictor has no foreground class")
+    return params, num_classes
+
+
+def load_od_api_detector_params(path: str):
+    """frozen_inference_graph.pb -> (params, num_classes)."""
+    return assemble_od_api_params(load_frozen_graph_constants(path))

@@ -92,6 +92,69 @@ class JaxDetectorBackend(DetectorBackend):
                 np.asarray(out["num_detections"]))
 
 
+class ODAPIDetectorBackend(DetectorBackend):
+    """Backend running the reference's downloaded OD-API frozen graph
+    (``frozen_inference_graph.pb``) natively: constants are extracted and
+    assembled into :class:`..models.od_api_frcnn.ODAPIFasterRCNN`
+    (inception_v2 trunk, BN folded), then jitted once per window geometry.
+
+    The graph's internal ``keep_aspect_ratio_resizer`` (min 600 / max 1024)
+    is applied on host with cv2 bilinear (half-pixel sampling; TF1's
+    resize_bilinear samples at ``scale*i`` — a sub-pixel deviation).
+    Normalized output boxes are aspect-preserving, so they map back to the
+    window unchanged, exactly as the frozen graph's do
+    (detect_glomus_test.py:359-368).
+    """
+
+    def __init__(self, pb_path: str, batch_size: int = 8,
+                 compute_dtype: str = "bfloat16", **config_overrides):
+        from ..convert.pb_import import load_od_api_detector_params
+
+        self.params, self.num_classes = load_od_api_detector_params(pb_path)
+        self.batch_size = batch_size
+        self.compute_dtype = compute_dtype
+        self.config_overrides = config_overrides
+        self._compiled = {}
+
+    def _get_fn(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._compiled:
+            import jax
+
+            from ..models.od_api_frcnn import (
+                ODAPIConfig,
+                ODAPIFasterRCNN,
+                keep_aspect_resize_shape,
+            )
+
+            base = ODAPIConfig(num_classes=self.num_classes,
+                               **self.config_overrides)
+            rh, rw = keep_aspect_resize_shape(h, w, base.min_dimension,
+                                              base.max_dimension)
+            import dataclasses
+
+            cfg = dataclasses.replace(base, image_size=(rh, rw))
+            model = ODAPIFasterRCNN(self.params, cfg, self.compute_dtype)
+            self._compiled[key] = ((rh, rw), jax.jit(model.detect))
+        return self._compiled[key]
+
+    def detect_batch(self, images: np.ndarray):
+        import cv2
+
+        (rh, rw), fn = self._get_fn(images.shape[1], images.shape[2])
+        if (rh, rw) != images.shape[1:3]:
+            resized = np.stack([
+                cv2.resize(im, (rw, rh), interpolation=cv2.INTER_LINEAR)
+                for im in images])
+        else:
+            resized = images
+        out = fn(resized)
+        return (np.asarray(out["detection_boxes"]),
+                np.asarray(out["detection_scores"]),
+                np.asarray(out["detection_classes"]),
+                np.asarray(out["num_detections"]))
+
+
 def threshold_boxes(boxes: np.ndarray, scores: np.ndarray, window_x: int,
                     window_y: int, thresh: float) -> List[List]:
     """Normalized boxes -> thresholded window-pixel boxes

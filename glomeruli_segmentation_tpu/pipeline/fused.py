@@ -60,19 +60,29 @@ class EnsembleSegmenter:
     """
 
     def __init__(self, config: EnsembleConfig, mesh=None,
-                 engine: str = "xla", interpret: Optional[bool] = None):
+                 engine: str = "xla", interpret: Optional[bool] = None,
+                 variables=None):
+        """``variables`` optionally injects a pre-stacked (fold-leading)
+        variable pytree instead of loading ``config.checkpoints`` — used by
+        the driver's multi-chip dryrun where no checkpoints exist (xla
+        engine only)."""
         self.config = config
         self.engine = engine
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
         trees = []
         means, stds = [], []
-        for ckpt, fold in zip(config.checkpoints, config.folds):
-            trees.append(load_espnet_variables(ckpt))
+        for fold in config.folds:
             mean, std = FOLD_NORMALIZATION[fold]
             means.append(mean)
             stds.append(std)
-        self.variables = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        if variables is not None:
+            assert engine == "xla", "injected variables require engine='xla'"
+            self.variables = variables
+        else:
+            for ckpt in config.checkpoints:
+                trees.append(load_espnet_variables(ckpt))
+            self.variables = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
         self.mean = jnp.asarray(means, jnp.float32)  # (F, 3) BGR
         self.std = jnp.asarray(stds, jnp.float32)
         self.model = ESPNet(config.classes, config.p, config.q)

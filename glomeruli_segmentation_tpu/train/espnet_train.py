@@ -9,8 +9,9 @@ Reproduces the reference's training recipe natively in JAX/optax:
 - five multi-scale train pipelines + val pipeline with the reference's
   exact sizes, crop sizes and batch-size offsets (``main.py:270-353``)
 - Adam(lr=5e-4, betas=(0.9, 0.999), eps=1e-8) with torch-style (coupled)
-  weight decay 5e-4 and StepLR(step=step_loss, gamma=0.5)
-  (``main.py:382-384``)
+  weight decay — ``--weight_decay``, reference default 5e-4
+  (``main.py:382``) — and StepLR(step=step_loss, gamma=0.5)
+  (``main.py:383-384``)
 - per epoch: train on scale1, scale2, scale4, scale3, main — in that order
   (``main.py:396-406``) — then validate; biased per-batch-mean metrics in
   the logs, matching ``getMetric`` (``IOUEval.py:55-61``)
@@ -18,8 +19,11 @@ Reproduces the reference's training recipe natively in JAX/optax:
   via the legacy writer, loadable by the reference), ``acc_{epoch}.txt``,
   ``trainValLog.txt``, ``mean_std.txt`` (``main.py:263-266,373-443``)
 
-TPU-native: batches are data-parallel over the device mesh (replicated
-params, psum'd grads via jit sharding); one compiled step per scale.
+TPU-native: with ``--data_parallel N`` batches shard over an N-device mesh
+(replicated params; the jit partitioner inserts the grad/BN-stat psums over
+ICI).  Ragged tail batches are padded by repeating the last sample so the
+compiled geometry and the per-device shard count stay fixed; metrics count
+only the real rows.
 """
 from __future__ import annotations
 
@@ -53,6 +57,12 @@ class EspnetTrainer:
         self.args = args
         self.class_weights = None
         self._step_cache: Dict = {}
+        self.mesh = None
+        n_dev = int(getattr(args, "data_parallel", 0) or 0)
+        if n_dev:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(None if n_dev < 0 else n_dev)
 
     # ---------------- setup ----------------
     def load_data(self):
@@ -115,17 +125,46 @@ class EspnetTrainer:
     def build_optimizer(self):
         args = self.args
         # torch Adam+weight_decay couples L2 into the gradient before the
-        # moment updates (main.py:382)
+        # moment updates (main.py:382); decay comes from --weight_decay
+        # (reference default 5e-4)
+        weight_decay = float(getattr(args, "weight_decay", 5e-4))
         self._lr_schedule = lambda epoch: args.lr * (
             0.5 ** (epoch // args.step_loss))
         tx = optax.inject_hyperparams(
             lambda learning_rate: optax.chain(
-                optax.add_decayed_weights(5e-4),
+                optax.add_decayed_weights(weight_decay),
                 optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
             ))(learning_rate=args.lr)
         return tx
 
     # ---------------- compiled steps ----------------
+    def _pad_batch(self, x: np.ndarray, y: np.ndarray):
+        """Pad a ragged batch to a multiple of the data-axis size by
+        repeating the last sample (keeps one compiled geometry per scale
+        and an even per-device shard). Returns (x, y, n_real)."""
+        n = x.shape[0]
+        if self.mesh is None:
+            return x, y, n
+        d = self.mesh.shape["data"]
+        pad = (-n) % d
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            y = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
+        return x, y, n
+
+    def _shard(self, step, training: bool):
+        """Wrap a step function with data-parallel shardings over the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        if training:
+            return jax.jit(step,
+                           in_shardings=(repl, repl, repl, data, data),
+                           out_shardings=(repl, repl, repl, repl, data))
+        return jax.jit(step, in_shardings=(repl, repl, data, data),
+                       out_shardings=(repl, data))
+
     def _get_step(self, model, tx, shape, training: bool):
         key = (shape, training)
         if key in self._step_cache:
@@ -133,7 +172,6 @@ class EspnetTrainer:
         weights = self.class_weights
 
         if training:
-            @jax.jit
             def step(params, batch_stats, opt_state, x, y):
                 def loss_fn(p):
                     out = model.apply(
@@ -150,13 +188,16 @@ class EspnetTrainer:
                 pred = jnp.argmax(logits, axis=-1)
                 return params, new_stats, opt_state, loss, pred
         else:
-            @jax.jit
             def step(params, batch_stats, x, y):
                 logits = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x)
                 loss = cross_entropy_2d(logits, y, weights)
                 return loss, jnp.argmax(logits, axis=-1)
 
+        if self.mesh is not None:
+            step = self._shard(step, training)
+        else:
+            step = jax.jit(step)
         self._step_cache[key] = step
         return step
 
@@ -167,6 +208,7 @@ class EspnetTrainer:
         total = len(loader)
         for i, (x, y) in enumerate(loader):
             t0 = time.time()
+            x, y, n_real = self._pad_batch(np.asarray(x), np.asarray(y))
             step = self._get_step(model, tx, x.shape, True)
             (state["params"], state["batch_stats"], state["opt_state"],
              loss, pred) = step(state["params"], state["batch_stats"],
@@ -174,7 +216,7 @@ class EspnetTrainer:
                                 jnp.asarray(y))
             loss = float(loss)
             losses.append(loss)
-            iou_eval.add_batch(np.asarray(pred), y)
+            iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
             print("[%d/%d] loss: %.3f time:%.2f" % (i, total, loss,
                                                     time.time() - t0))
         overall_acc, per_class_acc, per_class_iou, miou = iou_eval.get_metric()
@@ -186,11 +228,12 @@ class EspnetTrainer:
         iou_eval = IouEval(args.classes)
         losses = []
         for i, (x, y) in enumerate(loader):
+            x, y, n_real = self._pad_batch(np.asarray(x), np.asarray(y))
             step = self._get_step(model, tx, x.shape, False)
             loss, pred = step(state["params"], state["batch_stats"],
                               jnp.asarray(x), jnp.asarray(y))
             losses.append(float(loss))
-            iou_eval.add_batch(np.asarray(pred), y)
+            iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
         overall_acc, per_class_acc, per_class_iou, miou = iou_eval.get_metric()
         return (sum(losses) / max(len(losses), 1), overall_acc,
                 per_class_acc, per_class_iou, miou)
