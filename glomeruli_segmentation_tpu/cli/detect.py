@@ -36,11 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="keep_aspect_ratio_resizer max dimension")
     parser.add_argument("--max_proposals", type=int, default=300,
                         help="first-stage max proposals")
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard window batches over an N-device mesh "
+                             "(0 = single device, -1 = all devices); "
+                             "batch_size must be a multiple of N")
     return parser
 
 
 def load_backend(model_dir: str, model_name: str, batch_size: int,
-                 od_api_overrides=None):
+                 od_api_overrides=None, data_parallel: int = 0):
     from ..pipeline.detect import JaxDetectorBackend
 
     native_ckpt = os.path.join(model_dir, "detector.ckpt.pth")
@@ -57,7 +61,8 @@ def load_backend(model_dir: str, model_name: str, batch_size: int,
             from ..models.faster_rcnn import FasterRCNNConfig
 
             config = FasterRCNNConfig(**blob["config"])
-        return JaxDetectorBackend(variables, config, batch_size)
+        return JaxDetectorBackend(variables, config, batch_size,
+                                  data_parallel=data_parallel)
 
     pb_path = os.path.join(model_dir, model_name)
     if os.path.isfile(pb_path):
@@ -69,6 +74,7 @@ def load_backend(model_dir: str, model_name: str, batch_size: int,
 
         try:
             return ODAPIDetectorBackend(pb_path, batch_size,
+                                        data_parallel=data_parallel,
                                         **(od_api_overrides or {}))
         except UnmappedWeightsError as e:
             raise SystemExit(
@@ -86,7 +92,8 @@ def main(argv=None):
         args.model, args.model_name, args.batch_size,
         od_api_overrides={"min_dimension": args.min_dimension,
                           "max_dimension": args.max_dimension,
-                          "max_proposals": args.max_proposals})
+                          "max_proposals": args.max_proposals},
+        data_parallel=args.data_parallel)
     detector = GlomusDetector(args.data_category, args.target_list,
                               args.data_dir, args.output_dir,
                               args.output_file_ext, args.window_size,

@@ -1,0 +1,109 @@
+"""CLI: fused end-to-end slide pipeline (detect -> merge -> segment ->
+stitch in one process).
+
+One command replaces the reference's four-process chain
+(``example/README.md:27-133``): per slide it emits the merged-detection
+CSV, the per-crop labelme JSONs and the stitched ``{patient}_pred.jpg`` —
+the same artifacts, no intermediate files between stages.
+"""
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="fused detect+merge+segment+stitch per slide")
+    parser.add_argument("--model", type=str, required=True,
+                        help="detector model dir (detector.ckpt.pth or "
+                             "frozen_inference_graph.pb)")
+    parser.add_argument("--target_list", type=str, required=True)
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--staining", dest="data_category", type=str,
+                        default="OPT_PAS")
+    parser.add_argument("--output_dir", type=str, default="./output")
+    parser.add_argument("--segmentation_weights_dir", type=str, required=True,
+                        help="directory holding espnet_fold{1..5}.pth")
+    parser.add_argument("--folds", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    parser.add_argument("--json_dir", type=str, default=None,
+                        help="write per-crop labelme JSONs here "
+                             "(default: <output_dir>/json)")
+    parser.add_argument("--window_size", type=int, default=2000)
+    parser.add_argument("--overlap_ratio", type=float, default=0.1)
+    parser.add_argument("--conf_threshold", type=float, default=0.2)
+    parser.add_argument("--merge_conf_threshold", type=float, default=0.9)
+    parser.add_argument("--merge_overlap_threshold", type=float, default=0.35)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--seg_batch_size", type=int, default=8)
+    parser.add_argument("--model_name", default="frozen_inference_graph.pb")
+    parser.add_argument("--engine", default="xla", choices=["xla", "fused"])
+    parser.add_argument("--precision", default="default",
+                        choices=["default", "high", "highest"])
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard detection windows and crop batches over "
+                             "an N-device mesh (0 = off, -1 = all devices)")
+    parser.add_argument("--min_dimension", type=int, default=600)
+    parser.add_argument("--max_dimension", type=int, default=1024)
+    parser.add_argument("--max_proposals", type=int, default=300)
+    parser.add_argument("--no_overlay", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..pipeline.e2e import FusedEndToEnd
+    from ..pipeline.fused import EnsembleConfig, EnsembleSegmenter
+    from ..utils.glomus_handler import GlomusHandler
+    from ..utils.target_list import read_target_list
+    from .detect import load_backend
+
+    backend = load_backend(
+        args.model, args.model_name, args.batch_size,
+        od_api_overrides={"min_dimension": args.min_dimension,
+                          "max_dimension": args.max_dimension,
+                          "max_proposals": args.max_proposals},
+        data_parallel=args.data_parallel)
+
+    ckpts = [os.path.join(args.segmentation_weights_dir,
+                          f"espnet_fold{k}.pth") for k in args.folds]
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(None if args.data_parallel < 0
+                         else args.data_parallel)
+    ensemble = EnsembleSegmenter(
+        EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
+                       batch_size=args.seg_batch_size,
+                       precision=args.precision),
+        mesh=mesh, engine=args.engine)
+
+    pipe = FusedEndToEnd(
+        backend, ensemble, data_category=args.data_category,
+        window_size=args.window_size, overlap_ratio=args.overlap_ratio,
+        detect_conf=args.conf_threshold, merge_conf=args.merge_conf_threshold,
+        merge_overlap=args.merge_overlap_threshold)
+
+    staining_dir = GlomusHandler.get_staining_type(args.data_category)
+    json_dir = args.json_dir or os.path.join(args.output_dir, "json")
+    for entry in read_target_list(args.target_list):
+        if entry.is_comment:
+            continue
+        target_dir = os.path.join(args.data_dir, staining_dir,
+                                  entry.specimen_id)
+        if not os.path.isdir(target_dir):
+            continue
+        for candidate in sorted(os.listdir(target_dir)):
+            body, ext = os.path.splitext(candidate)
+            if entry.file_name.find(body) < 0 or ext.lower() not in (
+                    ".ndpi", ".tiff", ".tif", ".svs"):
+                continue
+            pipe.run_slide(os.path.join(target_dir, candidate),
+                           args.output_dir, entry.specimen_id,
+                           json_dir=json_dir,
+                           write_overlay=not args.no_overlay,
+                           progress=True)
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--engine", default="xla", choices=["xla", "fused"],
                         help="'fused' runs ESP blocks through the Pallas "
                              "kernel (TPU fast path)")
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard crop batches over an N-device mesh "
+                             "(0 = single device, -1 = all devices); "
+                             "batch_size must be a multiple of N")
     return parser
 
 

@@ -45,12 +45,44 @@ class DetectorBackend:
         raise NotImplementedError
 
 
+def _make_backend_mesh(data_parallel: int, batch_size: int):
+    """Window batches shard over the mesh's 'data' axis — detection is the
+    wall-clock-dominant stage (SURVEY.md §3.2), and the reference leaves it
+    single-device."""
+    if not data_parallel:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(None if data_parallel < 0 else data_parallel)
+    d = mesh.shape["data"]
+    if batch_size % d:
+        raise ValueError(f"batch_size {batch_size} must be a multiple of "
+                         f"the data-axis size {d}")
+    return mesh
+
+
+def _shard_detect_fn(mesh, fn, n_array_args: int):
+    """jit ``fn`` with the image batch sharded over 'data'; all detector
+    outputs are batch-leading, so they shard the same way."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    in_shardings = (repl,) * (n_array_args - 1) + (data,)
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings={"detection_boxes": data,
+                                  "detection_scores": data,
+                                  "detection_classes": data,
+                                  "num_detections": data})
+
+
 class JaxDetectorBackend(DetectorBackend):
     """FasterRCNN-based backend; one jitted program per window geometry."""
 
     def __init__(self, variables, config=None, batch_size: int = 8,
                  score_threshold: float = 0.0,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "bfloat16", data_parallel: int = 0):
         from ..models.faster_rcnn import FasterRCNN, FasterRCNNConfig
 
         self.base_config = config or FasterRCNNConfig()
@@ -59,6 +91,13 @@ class JaxDetectorBackend(DetectorBackend):
         self.score_threshold = score_threshold
         self.compute_dtype = compute_dtype
         self._compiled = {}
+        self.mesh = _make_backend_mesh(data_parallel, batch_size)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(self.mesh, P()))
 
     def _get_fn(self, h: int, w: int):
         import dataclasses
@@ -75,11 +114,14 @@ class JaxDetectorBackend(DetectorBackend):
             anchors = build_anchors(cfg)
             dtype = jnp.dtype(self.compute_dtype)
 
-            @jax.jit
             def fn(variables, images):
                 return model.apply(variables, images.astype(dtype),
                                    anchors, method=FasterRCNN.detect)
 
+            if self.mesh is not None:
+                fn = _shard_detect_fn(self.mesh, fn, 2)
+            else:
+                fn = jax.jit(fn)
             self._compiled[key] = fn
         return self._compiled[key]
 
@@ -107,7 +149,8 @@ class ODAPIDetectorBackend(DetectorBackend):
     """
 
     def __init__(self, pb_path: str, batch_size: int = 8,
-                 compute_dtype: str = "bfloat16", **config_overrides):
+                 compute_dtype: str = "bfloat16", data_parallel: int = 0,
+                 **config_overrides):
         from ..convert.pb_import import load_od_api_detector_params
 
         self.params, self.num_classes = load_od_api_detector_params(pb_path)
@@ -115,6 +158,7 @@ class ODAPIDetectorBackend(DetectorBackend):
         self.compute_dtype = compute_dtype
         self.config_overrides = config_overrides
         self._compiled = {}
+        self.mesh = _make_backend_mesh(data_parallel, batch_size)
 
     def _get_fn(self, h: int, w: int):
         key = (h, w)
@@ -135,7 +179,15 @@ class ODAPIDetectorBackend(DetectorBackend):
 
             cfg = dataclasses.replace(base, image_size=(rh, rw))
             model = ODAPIFasterRCNN(self.params, cfg, self.compute_dtype)
-            self._compiled[key] = ((rh, rw), jax.jit(model.detect))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                model.params = jax.device_put(
+                    model.params, NamedSharding(self.mesh, P()))
+                fn = _shard_detect_fn(self.mesh, model.detect, 1)
+            else:
+                fn = jax.jit(model.detect)
+            self._compiled[key] = ((rh, rw), fn)
         return self._compiled[key]
 
     def detect_batch(self, images: np.ndarray):

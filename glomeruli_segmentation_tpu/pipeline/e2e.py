@@ -1,0 +1,185 @@
+"""Fused end-to-end slide pipeline: detect -> merge -> segment -> stitch
+in one process, no intermediate CSV round-trips.
+
+The reference runs five separate OS processes communicating through files
+(SURVEY.md §3: detect CSV -> merge CSV -> crop PNGs -> labelme JSONs ->
+stitch); this stage keeps the slide resident: windows stream through the
+detector backend, boxes merge in memory (:class:`.merge.BoxMerger`), crops
+stream through the 5-fold ensemble (:class:`.fused.FusedSlideSegmenter`),
+and the /8 class canvas accumulates on the fly.  The reference's file
+artifacts are still written at the end — they are the public API:
+
+- ``<staining>_GlomusMergedList_<ext>.csv`` (merge_overlaped_glomus.py:102-124)
+- per-crop labelme JSONs named ``xmin{}_ymin{}_xmax{}_ymax{}.json`` in
+  level-0/8 coords (make_seg_data.py:193-197, VisualizeResults_iou.py:161-182)
+- ``{patient}_pred.jpg`` stitched overlay (eval_wsi_segmentation.py:359-394)
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .. import wsi
+from ..palette import ESPNET_PALETTE, colorize, relabel_to_cityscapes
+from .detect import DetectorBackend, GlomusDetector
+from .fused import EnsembleSegmenter, FusedSlideSegmenter
+from .merge import BoxMerger
+from .seg_data import MAGNIFICATION
+from .segment import build_labelme_doc
+
+
+class _CollectingDetector(GlomusDetector):
+    """Sliding-window detector that collects level-0 boxes in memory
+    instead of streaming CSV rows (geometry identical to the staged
+    detect stage — same class, overridden sink)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.collected: List[List[float]] = []
+
+    def write_detected_result(self, bs, i, j, x_start, y_start, output_file,
+                              site_name, specimen_id, file_name, scale):
+        for box in bs:
+            if box[4] > 0:
+                self.collected.append([
+                    x_start + box[0] * scale, y_start + box[1] * scale,
+                    x_start + box[2] * scale, y_start + box[3] * scale,
+                    box[4]])
+
+
+class FusedEndToEnd:
+    """One-command slide -> boxes -> crops -> canvas pipeline."""
+
+    def __init__(self, backend: DetectorBackend,
+                 ensemble: EnsembleSegmenter,
+                 data_category: str = "OPT_PAS",
+                 window_size: int = 2000, overlap_ratio: float = 0.1,
+                 detect_conf: float = 0.2, merge_conf: float = 0.9,
+                 merge_overlap: float = 0.35):
+        # reference operating points: example/README.md:34-37,48-49
+        self.backend = backend
+        self.segmenter = FusedSlideSegmenter(ensemble)
+        self.data_category = data_category
+        self.window_size = window_size
+        self.overlap_ratio = overlap_ratio
+        self.detect_conf = detect_conf
+        self.merge_conf = merge_conf
+        self.merge_overlap = merge_overlap
+
+    def detect_slide(self, slide, data_dir: str, patient_id: str,
+                     file_name: str) -> List[List[float]]:
+        import tempfile
+
+        det = _CollectingDetector(
+            self.data_category, target_list="", data_dir=data_dir,
+            output_dir=tempfile.mkdtemp(prefix="gseg_e2e_"),
+            output_file_ext="_e2e", window_size=self.window_size,
+            overlap_ratio=self.overlap_ratio,
+            conf_threshold=self.detect_conf,
+            batch_size=self.backend.batch_size)
+        det.org_slide_width, det.org_slide_height = slide.dimensions
+        det.mpp_x = float(slide.properties[wsi.PROPERTY_NAME_MPP_X])
+        det.mpp_y = float(slide.properties[wsi.PROPERTY_NAME_MPP_Y])
+        det.org_slide_objective_power = int(float(
+            slide.properties[wsi.PROPERTY_NAME_OBJECTIVE_POWER]))
+        det.scan_region(self.backend, slide, "", patient_id, file_name,
+                        output_file=None)
+        return det.collected
+
+    def merge_boxes(self, detections: List[List[float]], mpp_x: float,
+                    mpp_y: float) -> List[List[float]]:
+        """conf filter + area-descending greedy merge, the staged merger's
+        rule set (merge_overlaped_glomus.py:142-204)."""
+        candidates = []
+        for x1, y1, x2, y2, conf in detections:
+            if conf >= self.merge_conf:
+                area = (x2 - x1) * (y2 - y1)
+                candidates.append([x1, y1, x2, y2, conf, area, 0.0])
+        merger = BoxMerger(self.merge_overlap)
+        return merger.merge_all(candidates, mpp_x, mpp_y)
+
+    def run_slide(self, slide_path: str, output_dir: str, patient_id: str,
+                  output_file_ext: str = "_GlomusMergedList_",
+                  json_dir: Optional[str] = None,
+                  write_overlay: bool = True,
+                  progress: bool = False) -> np.ndarray:
+        os.makedirs(output_dir, exist_ok=True)
+        file_name = os.path.basename(slide_path)
+        data_dir = os.path.dirname(slide_path)
+        t0 = time.time()
+        with wsi.open_slide(slide_path) as slide:
+            mpp_x = float(slide.properties[wsi.PROPERTY_NAME_MPP_X])
+            mpp_y = float(slide.properties[wsi.PROPERTY_NAME_MPP_Y])
+            detections = self.detect_slide(slide, data_dir, patient_id,
+                                           file_name)
+            merged = self.merge_boxes(detections, mpp_x, mpp_y)
+            t_detect = time.time() - t0
+
+            # merged CSV artifact (merge_overlaped_glomus.py:102-124 schema)
+            csv_path = os.path.join(
+                output_dir, f"{self.data_category}{output_file_ext}.csv")
+            with open(csv_path, "w") as f:
+                for rect in merged:
+                    f.write(",{},\"{}\",{},{},{},{},{}\n".format(
+                        patient_id, file_name, int(rect[0]), int(rect[1]),
+                        int(rect[2]), int(rect[3]), rect[4]))
+
+            on_crop = None
+            if json_dir is not None:
+                crop_dir = os.path.join(json_dir, patient_id)
+                os.makedirs(crop_dir, exist_ok=True)
+
+                def on_crop(box, class_map):
+                    x1, y1, x2, y2 = box
+                    name = "xmin{}_ymin{}_xmax{}_ymax{}".format(
+                        int(x1 / MAGNIFICATION), int(y1 / MAGNIFICATION),
+                        int(x2 / MAGNIFICATION), int(y2 / MAGNIFICATION))
+                    relabeled = relabel_to_cityscapes(
+                        class_map.astype(np.uint8))
+                    doc = build_labelme_doc(relabeled, relabeled,
+                                            name + ".PNG")
+                    with open(os.path.join(crop_dir, name + ".json"),
+                              "w") as jf:
+                        json.dump(doc, jf, indent=4)
+
+            canvas = self.segmenter.segment_slide(slide, merged,
+                                                  progress=progress,
+                                                  on_crop=on_crop)
+            if write_overlay:
+                self._write_overlay(slide, canvas, output_dir, patient_id)
+        # per-slide timing log, reference contract
+        # (detect_glomus_test.py:110-112,152-158)
+        log_path = os.path.join(
+            output_dir, f"{self.data_category}{output_file_ext}_log.csv")
+        new = not os.path.isfile(log_path)
+        with open(log_path, "a") as f:
+            if new:
+                f.write("file,time,detect_time,timestamp\n")
+            now = datetime.datetime.today().strftime("%Y-%m-%dT%H:%M:%S")
+            f.write('"{}",{},{},{}\n'.format(
+                patient_id, time.time() - t0, t_detect, now))
+        return canvas
+
+    def _write_overlay(self, slide, canvas: np.ndarray, output_dir: str,
+                       patient_id: str) -> None:
+        """{patient}_pred.jpg: /8 slide with palette-colored labels,
+        0.4 org / 0.6 label (eval_wsi_segmentation.py:215-241)."""
+        import cv2
+
+        h8, w8 = canvas.shape
+        out = np.zeros((h8, w8, 3), np.uint8)
+        strip = 2048  # level-0 rows per read
+        for y0 in range(0, h8 * 8, strip):
+            rows = min(strip, h8 * 8 - y0)
+            region = slide.read_region_array((0, y0), 0, (w8 * 8, rows))
+            small = region[::8, ::8, ::-1]  # /8, RGB->BGR
+            sl = canvas[y0 // 8: y0 // 8 + small.shape[0]]
+            color = colorize(sl, ESPNET_PALETTE, bgr=True)
+            out[y0 // 8: y0 // 8 + small.shape[0]] = cv2.addWeighted(
+                small[: sl.shape[0]], 0.4, color, 0.6, 0)
+        cv2.imwrite(os.path.join(output_dir, patient_id + "_pred.jpg"), out)

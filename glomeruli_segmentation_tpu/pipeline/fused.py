@@ -180,7 +180,12 @@ class FusedSlideSegmenter:
         self.ensemble = ensemble
 
     def segment_slide(self, slide, detections: List[List[float]],
-                      progress: bool = False) -> np.ndarray:
+                      progress: bool = False, on_crop=None) -> np.ndarray:
+        """``on_crop(box, class_map)`` is invoked per crop with the
+        crop-resolution class map (network argmax at the padded input
+        resolution, before the /8 stitch downsample) — the fused e2e path
+        uses it to emit the per-crop labelme JSONs the staged pipeline
+        writes."""
         width, height = slide.dimensions
         # the /8 canvas is tiny (couple of MB): host-side max-paste avoids a
         # shape-specialized device dispatch per crop
@@ -208,6 +213,9 @@ class FusedSlideSegmenter:
             for (x1, y1, x2, y2), net_map in zip(chunk, maps[:n]):
                 from ..ops.preprocess import postprocess_nearest_host
 
+                if on_crop is not None:
+                    full = postprocess_nearest_host(net_map, y2 - y1, x2 - x1)
+                    on_crop((x1, y1, x2, y2), full)
                 ch, cw = (y2 - y1) // 8, (x2 - x1) // 8
                 small = postprocess_nearest_host(net_map, ch, cw)
                 y0, x0 = y1 // 8, x1 // 8

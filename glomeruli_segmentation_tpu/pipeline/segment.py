@@ -59,6 +59,9 @@ class SegmenterConfig:
     # 'fused' runs the ESP blocks through the Pallas kernel (inference-only
     # fast path, ~1.8x on TPU); 'xla' is the flax reference path
     engine: str = "xla"
+    # shard crop batches over an N-device mesh (0 = single device,
+    # -1 = all devices); params replicated, batch split over 'data'
+    data_parallel: int = 0
 
 
 class EspnetSegmenter:
@@ -100,7 +103,31 @@ class EspnetSegmenter:
         self._mean_std = jnp.asarray(
             np.stack([np.asarray(config.mean, np.float32),
                       np.asarray(config.std, np.float32)]))
-        self._forward = jax.jit(self._forward_impl)
+        if config.data_parallel:
+            if self._fused is not None:
+                # GSPMD cannot auto-partition the Pallas custom call; the
+                # sharded path uses the XLA engine (shard_map'd Pallas is a
+                # future optimization)
+                raise ValueError(
+                    "engine='fused' does not support data_parallel")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh
+
+            n_dev = config.data_parallel
+            mesh = make_mesh(None if n_dev < 0 else n_dev)
+            d = mesh.shape["data"]
+            if config.batch_size % d:
+                raise ValueError(
+                    f"batch_size {config.batch_size} must be a multiple of "
+                    f"the data-axis size {d}")
+            self.variables = jax.device_put(self.variables,
+                                            NamedSharding(mesh, P()))
+            data = NamedSharding(mesh, P("data"))
+            self._forward = jax.jit(self._forward_impl, in_shardings=data,
+                                    out_shardings=data)
+        else:
+            self._forward = jax.jit(self._forward_impl)
 
     def _forward_impl(self, batch: jax.Array) -> jax.Array:
         """(B, H, W, 3) float32 -> (B, H, W) uint8 argmax class map."""
@@ -170,6 +197,31 @@ class EspnetSegmenter:
         return np.concatenate(out, axis=0)
 
 
+def build_labelme_doc(class_map: np.ndarray, json_image: np.ndarray,
+                      name: str) -> dict:
+    """labelme-style JSON document with polygon boundaries + b64 image
+    (VisualizeResults_iou.py:161-182).  ``class_map`` must already be in
+    the cityscapes relabeling when that is the output convention."""
+    boundary_lines = bound2line(class_map, max_classes=4)
+    shapes = []
+    for idx, label in PRED_LABEL_IDX.items():
+        for poly in boundary_lines.get(idx, []):
+            shapes.append({
+                "line_color": None,
+                "points": poly.tolist(),
+                "fill_color": None,
+                "label": label,
+            })
+    return {
+        "shapes": shapes,
+        "lineColor": [0, 0, 0, 255],
+        "imagePath": name,
+        "flags": {},
+        "fillColor": [0, 0, 0, 255],
+        "imageData": img_arr_to_b64(json_image),
+    }
+
+
 def run_segment(args) -> None:
     """Full VisualizeResults_iou-equivalent artifact generation."""
     import cv2
@@ -214,6 +266,7 @@ def run_segment(args) -> None:
         device_preprocess=getattr(args, "fast", False),
         precision=getattr(args, "precision", "highest"),
         engine=getattr(args, "engine", "xla"),
+        data_parallel=getattr(args, "data_parallel", 0),
     )
     segmenter = EspnetSegmenter(cfg)
 
@@ -303,24 +356,7 @@ def _emit_crop_outputs(args, segmenter, iou_eval_val, dataset_d, summary_acc,
                   if getattr(args, "json_image_data", "org") == "classmap"
                   else img_orig)
 
-    boundary_lines = bound2line(class_map, max_classes=4)
-    shapes = []
-    for idx, label in PRED_LABEL_IDX.items():
-        for poly in boundary_lines.get(idx, []):
-            shapes.append({
-                "line_color": None,
-                "points": poly.tolist(),
-                "fill_color": None,
-                "label": label,
-            })
-    output_d = {
-        "shapes": shapes,
-        "lineColor": [0, 0, 0, 255],
-        "imagePath": name,
-        "flags": {},
-        "fillColor": [0, 0, 0, 255],
-        "imageData": img_arr_to_b64(json_image),
-    }
+    output_d = build_labelme_doc(class_map, json_image, name)
     with open(os.path.join(output_dir, name.replace(args.img_extn, "json")),
               "w") as out_json:
         json.dump(output_d, out_json, indent=4)

@@ -1,0 +1,97 @@
+"""Fused end-to-end pipeline: parity with the staged detect->merge chain
+and the one-command artifact contract."""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from test_detect_stage import MPP, BlobBackend
+
+from glomeruli_segmentation_tpu.pipeline.detect import GlomusDetector
+from glomeruli_segmentation_tpu.pipeline.e2e import FusedEndToEnd
+from glomeruli_segmentation_tpu.pipeline.fused import (
+    EnsembleConfig,
+    EnsembleSegmenter,
+    FusedSlideSegmenter,
+)
+from glomeruli_segmentation_tpu.pipeline.merge import run_merge
+from glomeruli_segmentation_tpu.wsi.synthetic import (
+    pas_like_image,
+    write_pyramidal_tiff,
+)
+
+
+def _make_slide(tmp_path, patient="H16-44444"):
+    img, centers = pas_like_image(1536, 2048, seed=33, n_glomeruli=3)
+    slide_dir = tmp_path / "data" / "02_PAS" / patient
+    slide_dir.mkdir(parents=True)
+    path = slide_dir / f"{patient}.tiff"
+    write_pyramidal_tiff(str(path), img, mpp=MPP, objective_power=40.0,
+                         levels=3)
+    target_list = tmp_path / "targets.txt"
+    target_list.write_text(f"{patient}/{patient}.tiff\n")
+    return path, target_list, patient
+
+
+@pytest.mark.slow
+def test_e2e_matches_staged_pipeline(tmp_path, reference_models_dir):
+    slide_path, target_list, patient = _make_slide(tmp_path)
+
+    # --- staged chain: detect CLI-path -> CSV -> run_merge -> CSV
+    detector = GlomusDetector(
+        "OPT_PAS", str(target_list), str(tmp_path / "data"),
+        str(tmp_path / "staged"), "_s", window_size=100, overlap_ratio=0.5,
+        conf_threshold=0.5, batch_size=4)
+    detector.split_all(BlobBackend())
+    merged_csv = run_merge(
+        "OPT_PAS", str(tmp_path / "staged" / "OPT_PAS_s.csv"),
+        str(tmp_path / "staged"), "s", 0.9, str(tmp_path / "data"), 0.35,
+        str(target_list))
+    staged_boxes = []
+    for line in open(merged_csv).read().splitlines():
+        parts = line.split(",")
+        staged_boxes.append([float(v) for v in parts[3:8]])
+
+    # --- fused one-process chain with the same backend + params
+    ckpts = [str(reference_models_dir / f"espnet_fold{k}.pth")
+             for k in (1, 2)]
+    ensemble = EnsembleSegmenter(EnsembleConfig(
+        checkpoints=ckpts, folds=(1, 2), batch_size=2,
+        compute_dtype="float32", precision="highest"))
+    pipe = FusedEndToEnd(BlobBackend(), ensemble, window_size=100,
+                         overlap_ratio=0.5, detect_conf=0.5, merge_conf=0.9,
+                         merge_overlap=0.35)
+    out_dir = tmp_path / "e2e"
+    canvas = pipe.run_slide(str(slide_path), str(out_dir), patient,
+                            json_dir=str(out_dir / "json"))
+
+    # merged boxes identical to the staged merger's
+    e2e_csv = out_dir / "OPT_PAS_GlomusMergedList_.csv"
+    e2e_boxes = []
+    for line in e2e_csv.read_text().splitlines():
+        parts = line.split(",")
+        e2e_boxes.append([float(v) for v in parts[3:8]])
+    assert len(e2e_boxes) == len(staged_boxes) > 0
+    np.testing.assert_allclose(sorted(e2e_boxes), sorted(staged_boxes),
+                               rtol=1e-6)
+
+    # canvas identical to segmenting the staged merged boxes directly
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    want = FusedSlideSegmenter(ensemble).segment_slide(
+        Slide(str(slide_path)), staged_boxes)
+    np.testing.assert_array_equal(canvas, want)
+
+    # artifact contract: labelme JSONs named by /8 coords + overlay + log
+    jsons = glob.glob(str(out_dir / "json" / patient / "*.json"))
+    assert len(jsons) == len(e2e_boxes)
+    doc = json.load(open(jsons[0]))
+    assert set(doc) >= {"shapes", "imagePath", "imageData"}
+    name = os.path.basename(jsons[0])
+    assert name.startswith("xmin") and "_ymin" in name
+    assert (out_dir / f"{patient}_pred.jpg").exists()
+    log = (out_dir / "OPT_PAS_GlomusMergedList__log.csv").read_text()
+    assert log.startswith("file,time")
+    assert patient in log
