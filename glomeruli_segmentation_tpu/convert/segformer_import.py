@@ -97,23 +97,32 @@ def hf_state_dict_to_variables(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
                  sd[b + "mlp.dense2.bias"])
             j += 1
 
-    for i in range(n_stages):
-        base = f"decode_head.linear_c.{i}.proj."
-        _set(params, ("head", f"linear_c{i}", "kernel"),
-             _dense(sd[base + "weight"]))
-        _set(params, ("head", f"linear_c{i}", "bias"), sd[base + "bias"])
-    _set(params, ("head", "linear_fuse", "kernel"),
-         _conv(sd["decode_head.linear_fuse.weight"]))
-    _set(params, ("head", "bn", "scale"), sd["decode_head.batch_norm.weight"])
-    _set(params, ("head", "bn", "bias"), sd["decode_head.batch_norm.bias"])
-    _set(stats, ("head", "bn", "mean"),
-         sd["decode_head.batch_norm.running_mean"])
-    _set(stats, ("head", "bn", "var"),
-         sd["decode_head.batch_norm.running_var"])
-    _set(params, ("head", "classifier", "kernel"),
-         _conv(sd["decode_head.classifier.weight"]))
-    _set(params, ("head", "classifier", "bias"),
-         sd["decode_head.classifier.bias"])
+    # decode head — absent from backbone-only checkpoints (the published
+    # nvidia/mit-b0 is a SegformerForImageClassification export whose
+    # decode head HF randomly initializes on from_pretrained, which is
+    # exactly the reference's transfer-learning recipe,
+    # SegFormer/train/train.py:140-141,211-212); the trainer fills missing
+    # subtrees from its own init
+    if "decode_head.linear_fuse.weight" in sd:
+        for i in range(n_stages):
+            base = f"decode_head.linear_c.{i}.proj."
+            _set(params, ("head", f"linear_c{i}", "kernel"),
+                 _dense(sd[base + "weight"]))
+            _set(params, ("head", f"linear_c{i}", "bias"), sd[base + "bias"])
+        _set(params, ("head", "linear_fuse", "kernel"),
+             _conv(sd["decode_head.linear_fuse.weight"]))
+        _set(params, ("head", "bn", "scale"),
+             sd["decode_head.batch_norm.weight"])
+        _set(params, ("head", "bn", "bias"),
+             sd["decode_head.batch_norm.bias"])
+        _set(stats, ("head", "bn", "mean"),
+             sd["decode_head.batch_norm.running_mean"])
+        _set(stats, ("head", "bn", "var"),
+             sd["decode_head.batch_norm.running_var"])
+        _set(params, ("head", "classifier", "kernel"),
+             _conv(sd["decode_head.classifier.weight"]))
+        _set(params, ("head", "classifier", "bias"),
+             sd["decode_head.classifier.bias"])
     return {"params": params, "batch_stats": stats}
 
 

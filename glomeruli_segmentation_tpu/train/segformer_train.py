@@ -121,13 +121,35 @@ def train_segformer(args) -> str:
 
         variables = load_segformer_variables(args.pretrained_checkpoint)
         init = model.init(jax.random.key(0), sample, train=True)
-        # a pretrained backbone may lack our classifier width: keep ours
-        cls_shape = init["params"]["head"]["classifier"]["kernel"].shape
-        if variables["params"]["head"]["classifier"]["kernel"].shape \
-                != cls_shape:
-            variables["params"]["head"]["classifier"] = \
-                init["params"]["head"]["classifier"]
-        variables = jax.tree.map(jnp.asarray, variables)
+
+        # transfer-learning merge (SegFormer/train/train.py:140-141): take
+        # every pretrained leaf whose shape matches; keep our init for
+        # anything missing (backbone-only mit-b0 checkpoints have no decode
+        # head) or differently shaped (classifier width = num_labels)
+        n_loaded = 0
+
+        def merge(init_node, pre_node, path=""):
+            nonlocal n_loaded
+            if not isinstance(init_node, dict):
+                if pre_node is not None and pre_node.shape == init_node.shape:
+                    n_loaded += 1
+                    return pre_node
+                if pre_node is not None:
+                    print(f"pretrained shape mismatch at {path}: "
+                          f"{pre_node.shape} vs {init_node.shape}; "
+                          "keeping random init")
+                return init_node
+            pre_node = pre_node if isinstance(pre_node, dict) else {}
+            return {k: merge(v, pre_node.get(k), f"{path}/{k}")
+                    for k, v in init_node.items()}
+
+        variables = jax.tree.map(jnp.asarray, {
+            "params": merge(init["params"], variables.get("params")),
+            "batch_stats": merge(init["batch_stats"],
+                                 variables.get("batch_stats")),
+        })
+        print(f"pretrained checkpoint loaded "
+              f"({n_loaded} tensors adopted)")
     else:
         variables = model.init(jax.random.key(0), sample, train=True)
     params, batch_stats = variables["params"], variables["batch_stats"]

@@ -1,0 +1,153 @@
+"""Detection accuracy acceptance bar.
+
+Trains the native detector on a synthetic slide *population* (varying
+glomerulus size, contrast and stain tone), runs the full
+detect -> merge -> make_seg_data chain on held-out slides, and asserts a
+hard recall floor — the reference's per-slide recall contract
+(make_seg_data.py:107-111,243-246), which round 1 only smoke-tested.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from glomeruli_segmentation_tpu.models.faster_rcnn import FasterRCNNConfig
+from glomeruli_segmentation_tpu.train.detector_driver import (
+    DetectorTrainConfig,
+    train_detector,
+)
+from glomeruli_segmentation_tpu.utils.labelme_io import img_arr_to_b64
+from glomeruli_segmentation_tpu.wsi.synthetic import (
+    pas_like_image,
+    write_pyramidal_tiff,
+)
+
+MPP = 0.25
+MARGIN = int(round(20.0 / MPP))  # make_seg_data.py:39 (20 µm)
+
+# slide population: stain tone, contrast and glomerulus size all vary
+POPULATION = [
+    ("H16-00001", dict(seed=101, background=(230, 205, 215),
+                       blob_color=(170, 110, 150),
+                       inner_color=(140, 80, 120),
+                       radius_frac=(1 / 20, 1 / 10))),
+    ("H16-00002", dict(seed=102, background=(238, 216, 222),
+                       blob_color=(158, 95, 135),
+                       inner_color=(130, 70, 110),
+                       radius_frac=(1 / 24, 1 / 12))),
+    ("H16-00003", dict(seed=103, background=(224, 198, 210),
+                       blob_color=(182, 125, 162),
+                       inner_color=(150, 95, 135),
+                       radius_frac=(1 / 16, 1 / 9))),
+    ("H16-00004", dict(seed=104, background=(232, 208, 218),
+                       blob_color=(165, 105, 145),
+                       inner_color=(138, 78, 118),
+                       radius_frac=(1 / 22, 1 / 11))),
+    ("H16-00005", dict(seed=105, background=(228, 202, 212),
+                       blob_color=(175, 118, 155),
+                       inner_color=(145, 88, 128),
+                       radius_frac=(1 / 18, 1 / 9))),
+]
+TRAIN = [p for p, _ in POPULATION[:3]]
+TEST = [p for p, _ in POPULATION[3:]]
+
+
+@pytest.fixture(scope="module")
+def population_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pop")
+    for patient, kw in POPULATION:
+        img, centers = pas_like_image(1536, 2048, n_glomeruli=4, **kw)
+        pdir = root / "data" / "02_PAS" / patient
+        (pdir / "annotations").mkdir(parents=True)
+        write_pyramidal_tiff(str(pdir / f"{patient}.tiff"), img, mpp=MPP,
+                             objective_power=40.0, levels=4)
+        seg_gt_dir = root / "seg_annotation" / patient
+        seg_gt_dir.mkdir(parents=True)
+        objs = ""
+        for cx, cy, r in centers:
+            # boxes snapped to /8 grid, kept clear of the margin frame
+            x1, y1 = (cx - r) // 8 * 8, (cy - r) // 8 * 8
+            x2, y2 = (cx + r + 7) // 8 * 8, (cy + r + 7) // 8 * 8
+            if (x1 - MARGIN < 0 or y1 - MARGIN < 0
+                    or x2 + 2 * MARGIN > 2048 or y2 + 2 * MARGIN > 1536):
+                continue
+            objs += (f"<object><name>glomerulus</name><bndbox>"
+                     f"<xmin>{x1 // 8}</xmin><ymin>{y1 // 8}</ymin>"
+                     f"<xmax>{x2 // 8}</xmax><ymax>{y2 // 8}</ymax>"
+                     f"</bndbox></object>")
+            # labelme GT JSON in the margin frame (make_seg_data contract)
+            fx1, fy1 = x1 - MARGIN, y1 - MARGIN
+            frame = img[fy1: y2 + 2 * MARGIN, fx1: x2 + 2 * MARGIN]
+            theta = np.linspace(0, 2 * np.pi, 24)
+            points = [[float(cx - fx1 + r * np.cos(t)),
+                       float(cy - fy1 + r * np.sin(t))] for t in theta]
+            doc = {"shapes": [{"label": "glomerulus", "points": points,
+                               "line_color": None, "fill_color": None}],
+                   "imagePath": "frame.png",
+                   "imageData": img_arr_to_b64(frame)}
+            name = f"xmin{x1 // 8}_ymin{y1 // 8}_xmax{x2 // 8}_ymax{y2 // 8}"
+            (seg_gt_dir / (name + ".json")).write_text(json.dumps(doc))
+        (pdir / "annotations"
+         / f"OPT_PAS_{patient}_{patient}_pw40_ds8.xml").write_text(
+            f"<annotation>{objs}</annotation>")
+    (root / "train.txt").write_text("".join(f"{p}/{p}\n" for p in TRAIN))
+    (root / "test.txt").write_text("".join(f"{p}/{p}\n" for p in TEST))
+    return root
+
+
+@pytest.mark.slow
+def test_detection_recall_floor(population_tree, tmp_path):
+    root = population_tree
+    model_dir = tmp_path / "model"
+    cfg = DetectorTrainConfig(image_size=128, batch_size=2, steps=300,
+                              lr=1e-3, max_gt=8, seed=0)
+    model_config = FasterRCNNConfig(
+        image_size=(128, 128), backbone="tiny",
+        anchor_scales=(0.25, 0.5), anchor_aspects=(1.0,), anchor_base=128.0,
+        pre_nms_top_n=128, post_nms_top_n=16, crop_size=8, max_detections=8)
+    train_detector("OPT_PAS", str(root / "data"), str(root / "train.txt"),
+                   str(model_dir), cfg, model_config, log_every=100)
+
+    from glomeruli_segmentation_tpu.cli.detect import main as detect_main
+
+    out = tmp_path / "out"
+    detect_main([
+        "--model", str(model_dir),
+        "--target_list", str(root / "test.txt"),
+        "--data_dir", str(root / "data"),
+        "--staining", "OPT_PAS",
+        "--output_dir", str(out), "--output_file_ext", "_t",
+        "--window_size", "256", "--overlap_ratio", "0.1",
+        "--conf_threshold", "0.1", "--batch_size", "2",
+    ])
+
+    from glomeruli_segmentation_tpu.pipeline.merge import run_merge
+
+    merged_csv = run_merge("OPT_PAS", str(out / "OPT_PAS_t.csv"), str(out),
+                           "t", 0.3, str(root / "data"), 0.35,
+                           str(root / "test.txt"))
+
+    # held-out recall through the real make_seg_data stage (reference recall
+    # print format: make_seg_data.py:107-111)
+    from glomeruli_segmentation_tpu.pipeline.seg_data import SegDataGenerator
+
+    gen = SegDataGenerator(
+        "OPT_PAS", str(root / "data"), str(root / "test.txt"), merged_csv,
+        0.01, str(tmp_path / "seg_out"), str(root / "data" / "02_PAS"),
+        gt_png_dir=None, seg_gt_json_dir=str(root / "seg_annotation"))
+    gen.read_detected_glomus_list()
+    rows = gen.scan_files()
+    assert len(rows) == len(TEST)
+    hits = sum(int(r[2]) for r in rows)
+    gts = sum(int(r[3]) for r in rows)
+    dets = sum(int(r[4]) for r in rows)
+    recall = hits / gts
+    # hard acceptance bar (calibrated: the 300-step tiny detector reaches
+    # recall 1.0 on this population; 0.75 leaves seed headroom)
+    assert recall >= 0.75, (recall, rows)
+    assert dets <= 12 * gts, "detector drowned the merge stage in FPs"
+    # crops + label PNGs were produced for the TPs
+    for patient in TEST:
+        crops = os.listdir(tmp_path / "seg_out" / "org_image" / patient)
+        assert crops

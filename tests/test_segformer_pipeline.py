@@ -125,3 +125,65 @@ def test_segformer_train_test_chain(tmp_path):
     assert len(pixel_rows) == 6  # header + 5 crops
     report = (rep / "summary_report.csv").read_text()
     assert "overall_mean_iou" in report
+
+
+def test_backbone_only_import_maps_encoder():
+    """The published nvidia/mit-b0 checkpoint is backbone-only (HF
+    SegformerForImageClassification layout); the importer must map the
+    encoder and leave the decode head to the trainer's init
+    (SegFormer/train/train.py:140-141,211-212)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from glomeruli_segmentation_tpu.convert.segformer_import import (
+        hf_state_dict_to_variables,
+    )
+
+    hf = transformers.SegformerForImageClassification(
+        transformers.SegformerConfig(num_labels=2))
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    variables = hf_state_dict_to_variables(sd)
+    assert "head" not in variables["params"]
+    got = variables["params"]["encoder"]["patch_embed0"]["proj"]["kernel"]
+    want = sd["segformer.encoder.patch_embeddings.0.proj.weight"
+              ].transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_pretrained_mit_b0_training_flow(tmp_path, capsys):
+    """gseg-segformer-train --pretrained_checkpoint <hf dir>: fine-tunes
+    from a backbone-only mit-b0-layout checkpoint end-to-end."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from glomeruli_segmentation_tpu.cli.segformer_train import (
+        build_parser as train_parser,
+    )
+    from glomeruli_segmentation_tpu.train.segformer_train import (
+        train_segformer,
+    )
+
+    hf = transformers.SegformerForImageClassification(
+        transformers.SegformerConfig(num_labels=2))
+    ckpt_dir = tmp_path / "mit-b0"
+    ckpt_dir.mkdir()
+    torch.save(hf.state_dict(), str(ckpt_dir / "pytorch_model.bin"))
+
+    _gtcs_tree(tmp_path, n_specimens=5, crops_per=1, size=96)
+    model_root = tmp_path / "models"
+    args = train_parser().parse_args([
+        "--site", "01_Todai", "--data_root", str(tmp_path),
+        "--data_date", "20260101", "--model_root", str(model_root),
+        "--output_dir", "pre", "--fold", "1", "--max_epoch", "1",
+        "--save_interval", "1", "--batch_size", "2", "--num_labels", "5",
+        "--input_size", "96",
+        "--pretrained_checkpoint", str(ckpt_dir),
+    ])
+    out_dir = train_segformer(args)
+    stdout = capsys.readouterr().out
+    # the whole MiT-B0 encoder (192 tensors) came from the checkpoint
+    assert "pretrained checkpoint loaded" in stdout
+    n = int(stdout.split("pretrained checkpoint loaded (")[1].split()[0])
+    assert n == 192, stdout
+    assert "log.txt" in os.listdir(out_dir)
