@@ -26,6 +26,12 @@ ITERS = 3
 # used only when the live baseline measurement is unavailable.
 FALLBACK_BASELINE_CROPS_PER_SEC = 0.55
 
+# measured reference denominators on this host's CPU (bench_reference.py,
+# committed in BASELINE.md): composed end-to-end sec/slide for the
+# bench_e2e.py synthetic slide (4 windows, 48 crops, 5 folds)
+REFERENCE_E2E_SEC_PER_SLIDE = 112.89
+REFERENCE_DETECTION_WINDOWS_PER_SEC = 0.095
+
 
 def bench_ours() -> float:
     import jax
@@ -105,7 +111,41 @@ def bench_torch_reference() -> float | None:
     return iters / dt
 
 
+def bench_e2e_extra() -> dict:
+    """Whole-slide numbers (bench_e2e.py stages) folded into the bench
+    artifact: sec/slide + slides/hour vs the measured torch-CPU reference
+    denominator (bench_reference.py, BASELINE.md)."""
+    import bench_e2e
+
+    tmp = os.path.join("/tmp", "gseg_bench_slide.tiff")
+    centers_file = tmp + ".centers.npy"
+    import numpy as np
+
+    if not os.path.isfile(tmp) or not os.path.isfile(centers_file):
+        centers = bench_e2e.make_slide(tmp)
+        np.save(centers_file, np.asarray(centers))
+    centers = np.load(centers_file)
+    det = bench_e2e.bench_detection(tmp)
+    seg = bench_e2e.bench_fused_segmentation(tmp, centers)
+    extra = {
+        "detection_windows_per_sec": det.get("windows_per_sec"),
+        "detection_sec_per_slide": det.get("sec_per_slide"),
+        "fused_5fold_sec_per_slide": seg.get("sec_per_slide"),
+        "fused_5fold_crops_per_sec": seg.get("crops_per_sec"),
+    }
+    if det.get("sec_per_slide") and seg.get("sec_per_slide"):
+        e2e = det["sec_per_slide"] + seg["sec_per_slide"]
+        extra["e2e_sec_per_slide"] = round(e2e, 3)
+        extra["e2e_slides_per_hour"] = round(3600.0 / e2e, 1)
+        extra["e2e_vs_reference_cpu"] = round(
+            REFERENCE_E2E_SEC_PER_SLIDE / e2e, 1)
+    return extra
+
+
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     ours = bench_ours()
     baseline = None
     try:
@@ -114,11 +154,16 @@ def main():
         baseline = None
     if baseline is None:
         baseline = FALLBACK_BASELINE_CROPS_PER_SEC
+    try:
+        extra = bench_e2e_extra()
+    except Exception as e:  # the headline metric must survive e2e failures
+        extra = {"error": repr(e)}
     print(json.dumps({
         "metric": "espnet_crop_segmentation_throughput",
         "value": round(ours, 3),
         "unit": "crops/sec",
         "vs_baseline": round(ours / baseline, 3),
+        "extra": extra,
     }))
 
 

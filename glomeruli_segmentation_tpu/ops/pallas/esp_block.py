@@ -47,28 +47,48 @@ HALO = 16  # max dilation
 def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
                 out_ref, rpad_ref, *, height: int, width: int, c: int,
                 n: int, n1: int, add_residual: bool,
-                pack_taps: bool = True):
+                pack_taps: bool = True, w_tile: int = 0):
     """One image per grid step. Shapes:
     x (1, H, W, C) block; w1 (C, n); wd (5*9, n, n_pad) stacked taps with
     the d1 branch's extra columns (n1 > n) carried in the padding;
     scale/bias/alpha (1, C); out (1, H, W, C); rpad scratch
     (H + 2*HALO, W + 2*HALO, n).
+
+    ``w_tile`` statically tiles the width axis so every (H, Wt, n) ->
+    (H*Wt, n) relayout stays under Mosaic's ~8192 spatial-extent compile
+    wall (the level-2 fix).  Each tile uses the scratch as a PRIVATE
+    (H+2*HALO, Wt+2*HALO, n) halo buffer whose slice patterns exactly
+    match the proven level-3 compile shape; the reduce recomputes the
+    16-column halo strips per tile (cheap: the 1x1 reduce is ~2% of the
+    block's FLOPs).
     """
+    w_tile = w_tile or width
+    n_tiles = width // w_tile
     x = x_ref[0]
-    hw = height * width
+    hw = height * w_tile
 
-    # 1x1 reduce on the MXU
-    r = jnp.dot(x.reshape(hw, c), w1_ref[:],
-                preferred_element_type=jnp.float32)
+    def reduce_cols(c0: int, cols: int):
+        """1x1-reduce columns [c0, c0+cols) of the image on the MXU."""
+        xs = x[:, c0: c0 + cols, :]
+        r = jnp.dot(xs.reshape(height * cols, c), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+        return r.reshape(height, cols, n).astype(rpad_ref.dtype)
 
-    # zero halo + center write
-    rpad_ref[:] = jnp.zeros_like(rpad_ref)
-    rpad_ref[HALO: HALO + height, HALO: HALO + width, :] = (
-        r.reshape(height, width, n).astype(rpad_ref.dtype))
+    def stage_tile(t: int):
+        """Fill the private scratch with the tile's center + halo strips."""
+        rpad_ref[:] = jnp.zeros_like(rpad_ref)
+        c0 = t * w_tile
+        rpad_ref[HALO: HALO + height, HALO: HALO + w_tile, :] = \
+            reduce_cols(c0, w_tile)
+        if t > 0:  # left halo strip
+            rpad_ref[HALO: HALO + height, 0: HALO, :] = \
+                reduce_cols(c0 - HALO, HALO)
+        if t < n_tiles - 1:  # right halo strip
+            rpad_ref[HALO: HALO + height,
+                     HALO + w_tile: 2 * HALO + w_tile, :] = \
+                reduce_cols(c0 + w_tile, HALO)
 
-    n_pad = wd_ref.shape[2]
-
-    def branch(d_index: int, dilation: int, width_out: int):
+    def branch(col0: int, d_index: int, dilation: int, width_out: int):
         if pack_taps:
             # pack the 9 taps into one (hw, 9n) x (9n, n_pad) MXU matmul —
             # 9x wider contraction keeps the 128-lane systolic array busy
@@ -77,7 +97,7 @@ def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
                 for dx in (-dilation, 0, dilation):
                     windows.append(
                         rpad_ref[HALO + dy: HALO + dy + height,
-                                 HALO + dx: HALO + dx + width, :]
+                                 col0 + dx: col0 + dx + w_tile, :]
                         .reshape(hw, n))
             packed = jnp.concatenate(windows, axis=1)
             acc = jnp.dot(packed, wd_ref[d_index],
@@ -89,7 +109,7 @@ def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
         for dy in (-dilation, 0, dilation):
             for dx in (-dilation, 0, dilation):
                 window = rpad_ref[HALO + dy: HALO + dy + height,
-                                  HALO + dx: HALO + dx + width, :]
+                                  col0 + dx: col0 + dx + w_tile, :]
                 part = jnp.dot(window.reshape(hw, n),
                                wd_ref[d_index, tap * n: (tap + 1) * n],
                                preferred_element_type=jnp.float32)
@@ -97,18 +117,22 @@ def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
                 tap += 1
         return acc[:, :width_out]
 
-    d1 = branch(0, 1, n1)
-    add1 = branch(1, 2, n)
-    add2 = add1 + branch(2, 4, n)
-    add3 = add2 + branch(3, 8, n)
-    add4 = add3 + branch(4, 16, n)
-    combine = jnp.concatenate([d1, add1, add2, add3, add4], axis=1)
-    if add_residual:
-        combine = combine + x.reshape(hw, c).astype(jnp.float32)
-    y = combine * scale_ref[0] + bias_ref[0]
-    alpha = alpha_ref[0]
-    y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
-    out_ref[0] = y.reshape(height, width, c).astype(out_ref.dtype)
+    for t in range(n_tiles):
+        stage_tile(t)
+        d1 = branch(HALO, 0, 1, n1)
+        add1 = branch(HALO, 1, 2, n)
+        add2 = add1 + branch(HALO, 2, 4, n)
+        add3 = add2 + branch(HALO, 3, 8, n)
+        add4 = add3 + branch(HALO, 4, 16, n)
+        combine = jnp.concatenate([d1, add1, add2, add3, add4], axis=1)
+        if add_residual:
+            xt = x[:, t * w_tile: (t + 1) * w_tile, :]
+            combine = combine + xt.reshape(hw, c).astype(jnp.float32)
+        y = combine * scale_ref[0] + bias_ref[0]
+        alpha = alpha_ref[0]
+        y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
+        out_ref[0, :, t * w_tile: (t + 1) * w_tile, :] = (
+            y.reshape(height, w_tile, c).astype(out_ref.dtype))
 
 
 def fold_bn(scale, bias, mean, var, eps: float = 1e-3):
@@ -141,9 +165,16 @@ def esp_block_fused(x: jax.Array, w1: jax.Array, wd: jax.Array,
     n_pad = wd.shape[2]
     n1 = c - 4 * n
 
+    # keep each relayout's spatial extent under the Mosaic compile wall
+    # (esp_block.py module docstring): halve the internal width tile until
+    # H * Wt <= 8192
+    w_tile = w
+    while h * w_tile > 8192 and w_tile % 2 == 0:
+        w_tile //= 2
+
     kernel = functools.partial(
         _esp_kernel, height=h, width=w, c=c, n=n, n1=n1,
-        add_residual=add_residual, pack_taps=pack_taps)
+        add_residual=add_residual, pack_taps=pack_taps, w_tile=w_tile)
 
     # grid over the batch: one image's activations resident in VMEM per
     # program (vmap would instead stage the whole batch into VMEM)
@@ -171,8 +202,9 @@ def esp_block_fused(x: jax.Array, w1: jax.Array, wd: jax.Array,
         out_specs=img_spec(),
         scratch_shapes=[
             # same dtype as the activations: a f32 halo buffer would force
-            # full-precision (multi-pass) MXU matmuls downstream
-            pltpu.VMEM((h + 2 * HALO, w + 2 * HALO, n), x.dtype),
+            # full-precision (multi-pass) MXU matmuls downstream; sized to
+            # one width tile (private per-tile halo buffer)
+            pltpu.VMEM((h + 2 * HALO, w_tile + 2 * HALO, n), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

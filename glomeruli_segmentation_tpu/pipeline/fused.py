@@ -186,14 +186,17 @@ class FusedSlideSegmenter:
         resolution, before the /8 stitch downsample) — the fused e2e path
         uses it to emit the per-crop labelme JSONs the staged pipeline
         writes."""
+        import queue
+        import threading
+
         width, height = slide.dimensions
         # the /8 canvas is tiny (couple of MB): host-side max-paste avoids a
         # shape-specialized device dispatch per crop
         canvas = np.zeros((height // 8, width // 8), np.uint8)
         bs = self.ensemble.config.batch_size
         boxes = [[int(v) for v in det[:4]] for det in detections]
-        for start in range(0, len(boxes), bs):
-            chunk = boxes[start: start + bs]
+
+        def stage_batch(chunk):
             crops = [slide.read_region_array((x1, y1), 0,
                                              (x2 - x1, y2 - y1))[:, :, ::-1]
                      for x1, y1, x2, y2 in chunk]  # BGR
@@ -209,6 +212,28 @@ class FusedSlideSegmenter:
                 padded[i, : c.shape[0], : c.shape[1]] = c
                 hs[i], ws[i] = c.shape[:2]
             hs[n:], ws[n:] = 1, 1
+            return chunk, n, padded, hs, ws
+
+        # double-buffered staging: a producer thread reads + pads the next
+        # crop batch while the device runs the current one (the staged
+        # pipeline reads crops synchronously between forwards)
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for start in range(0, len(boxes), bs):
+                    q.put(stage_batch(boxes[start: start + bs]))
+            finally:
+                q.put(SENTINEL)
+
+        threading.Thread(target=producer, daemon=True).start()
+        start = 0
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            chunk, n, padded, hs, ws = item
             maps = self.ensemble.segment_batch_padded(padded, hs, ws)
             for (x1, y1, x2, y2), net_map in zip(chunk, maps[:n]):
                 from ..ops.preprocess import postprocess_nearest_host
@@ -223,6 +248,7 @@ class FusedSlideSegmenter:
                 cw = min(cw, canvas.shape[1] - x0)
                 region = canvas[y0: y0 + ch, x0: x0 + cw]
                 np.maximum(region, small[:ch, :cw], out=region)
+            start += n
             if progress:
-                print(f"{min(start + bs, len(boxes))}/{len(boxes)} crops")
+                print(f"{start}/{len(boxes)} crops")
         return canvas
