@@ -24,10 +24,18 @@ Mosaic constraint (measured on v5e): per-program spatial extent H*W must
 stay <= 8192 — larger extents (level-2's 128x256, or 64x256 / 128x128)
 push the (H, W, n) -> (H*W, n) relayout past a compile-time wall (>>9 min
 remote AOT), independent of channel count or tap packing.  Level-3
-(64x128) sits exactly at the wall and compiles in ~40 s.  Tiling both
-axes would need 32-px halos on each side (~2.7x redundant compute at
-legal tile sizes), which erases the kernel's 2.8x win — so level-2 runs
-the XLA path (see models/espnet_fused.py).
+(64x128) sits exactly at the wall and compiles in ~40 s.
+
+``w_tile`` works around the wall by tiling the width axis with private
+16-px halo strips recomputed per tile (the 1x1 reduce is cheap), so every
+relayout stays at the proven level-3 extent.  Measured verdict at the
+level-2 shape (full net, batch 128, one v5e chip): the W-tiled kernel
+*does* compile (~30 min AOT, vs never before) but runs the full forward
+at 183 ms/batch vs 140 ms with level-2 on XLA — the 4-tile unroll plus
+halo recompute costs more than the fusion saves at n=12 channels.  So
+``fuse_level2`` stays False by default and level-2 runs the XLA path
+(models/espnet_fused.py); the tiling machinery is kept for the level-3
+shape family and covered by interpret-mode parity tests.
 """
 from __future__ import annotations
 

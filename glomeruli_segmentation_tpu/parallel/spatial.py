@@ -41,7 +41,10 @@ def spatial_shard_forward(mesh: Mesh, fn: Callable, x: jax.Array,
     stripe = h // n_dev
     assert 0 < overlap <= stripe
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def local(x_local):
         # x_local: (N, stripe, W, C) — this device's stripe
@@ -63,7 +66,7 @@ def spatial_shard_forward(mesh: Mesh, fn: Callable, x: jax.Array,
         local, mesh=mesh,
         in_specs=P(None, axis_name, None, None),
         out_specs=P(None, axis_name, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
     out = sharded(x)

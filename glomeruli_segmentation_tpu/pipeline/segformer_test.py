@@ -158,10 +158,13 @@ def run_segformer_test(args) -> None:
             if (idx + 1) % 10 == 0:
                 print(f"{idx + 1}/{data_len}")
 
-    overall_iou = metrics_sum["total_area_intersect"] / \
-        metrics_sum["total_area_union"]
-    overall_acc = metrics_sum["total_area_intersect"] / \
-        metrics_sum["total_area_label"]
+    # 0/0 -> NaN is the mmseg convention for absent classes; the nanmeans
+    # below skip them (reference mean_iou semantics)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        overall_iou = metrics_sum["total_area_intersect"] / \
+            metrics_sum["total_area_union"]
+        overall_acc = metrics_sum["total_area_intersect"] / \
+            metrics_sum["total_area_label"]
     for key in list(metrics_sum):
         if key not in ("total_area_intersect", "total_area_union",
                        "total_area_label", "total_area_pred_label"):

@@ -24,7 +24,12 @@ def test_fold_bn():
     np.testing.assert_allclose(x * s + b, want)
 
 
-@pytest.mark.parametrize("c,h,w", [(128, 16, 32), (64, 32, 64)])
+@pytest.mark.parametrize("c,h,w", [
+    (128, 16, 32),   # single tile (H*W under the Mosaic extent wall)
+    (64, 32, 64),    # single tile, level-2 channel split (n=12, n1=16)
+    (64, 64, 256),   # 2 width tiles: exercises the halo-strip recompute
+    (64, 128, 256),  # 4 width tiles: the real level-2 spatial shape
+])
 def test_esp_block_kernel_matches_flax(c, h, w):
     rng = np.random.RandomState(0)
     x = rng.randn(2, h, w, c).astype(np.float32)
