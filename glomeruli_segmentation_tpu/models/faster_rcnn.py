@@ -53,6 +53,13 @@ class FasterRCNNConfig:
     backbone: str = "resnet50"  # or "tiny"
     # image-net channel means for the resnet preprocessing (RGB)
     pixel_means: Tuple[float, float, float] = (123.68, 116.779, 103.939)
+    # proposals per second-stage step: an unchunked head materializes
+    # (B, 300, 14, 14, 1024) ROI crops — 3.85 GB at B=16, which fails HBM
+    # allocation; chunking keeps only (B, chunk, ...) live (profiled
+    # round 2: the ROI stage was 49 of 78 ms per 4-window batch).
+    # 0 = auto: the largest chunk with B * chunk <= 1024 (~820 MB live),
+    # so small window batches stay effectively unchunked
+    roi_chunk: int = 0
 
     @property
     def num_anchors_per_cell(self) -> int:
@@ -155,6 +162,7 @@ class FasterRCNN(nn.Module):
 
     def __call__(self, images: jax.Array, anchors: jax.Array,
                  train: bool = False):
+        cfg = self.config
         feats = self.features(images, train)
         rpn_obj, rpn_deltas = self.rpn_outputs(feats)
         proposals, prop_scores = self.propose(rpn_obj, rpn_deltas, anchors)
@@ -162,12 +170,26 @@ class FasterRCNN(nn.Module):
         # generation into the second stage (and no backward through the NMS
         # scan, which would dominate compile time)
         proposals = jax.lax.stop_gradient(proposals)
-        roi = self.roi_features(feats, proposals)
-        n, p = roi.shape[:2]
-        flat = roi.reshape((n * p,) + roi.shape[2:])
-        scores, deltas = self.box_head(flat, train)
-        scores = scores.reshape(n, p, -1)
-        deltas = deltas.reshape(n, p, self.config.num_classes, 4)
+        # chunk the second stage over the proposal axis: cropping all P
+        # proposals at once materializes (B, P, S, S, C) — 3.85 GB at
+        # B=16 — and the chunked calls share box_head params (linen
+        # reuses the submodule; XLA schedules the chunks sequentially so
+        # only one chunk's crops are live at a time)
+        n, p = proposals.shape[:2]
+        chunk = cfg.roi_chunk or max(1, 1024 // n)
+        chunk = min(chunk, p)
+        scores_parts, deltas_parts = [], []
+        for start in range(0, p, chunk):
+            part = jax.lax.slice_in_dim(proposals, start,
+                                        min(start + chunk, p), axis=1)
+            roi = self.roi_features(feats, part)
+            pc = roi.shape[1]
+            flat = roi.reshape((n * pc,) + roi.shape[2:])
+            s_c, d_c = self.box_head(flat, train)
+            scores_parts.append(s_c.reshape(n, pc, -1))
+            deltas_parts.append(d_c.reshape(n, pc, cfg.num_classes, 4))
+        scores = jnp.concatenate(scores_parts, axis=1)
+        deltas = jnp.concatenate(deltas_parts, axis=1)
         return {
             "features": feats,
             "rpn_objectness": rpn_obj,

@@ -14,18 +14,26 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def crop_and_resize(features: jax.Array, boxes: jax.Array, crop_size: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def crop_and_resize(features: jax.Array, boxes: jax.Array, crop_size: int,
+                    box_chunk: int = 64):
     """Crop normalized boxes from a feature map.
 
     Args:
       features: (H, W, C)
       boxes: (N, 4) normalized [ymin, xmin, ymax, xmax]
       crop_size: output spatial size S
+      box_chunk: boxes processed per step.  A flat vmap materializes the
+        per-box (S, W, C) row gather for every box at once — 3.7 MB/box at
+        the detector's stride-16 shape, 17.6 GB for a 16-image window
+        batch (fails HBM allocation at compile).  ``lax.map`` over chunks
+        bounds the live intermediate to chunk * 3.7 MB while keeping each
+        step wide enough for the VPU.
     Returns (N, S, S, C).
     """
     h, w, _ = features.shape
     s = crop_size
+    n = boxes.shape[0]
 
     def one(box):
         y1, x1, y2, x2 = box
@@ -47,7 +55,13 @@ def crop_and_resize(features: jax.Array, boxes: jax.Array, crop_size: int):
         right = rows[:, x1i]
         return left * (1 - wx) + right * wx
 
-    return jax.vmap(one)(boxes)
+    if n <= box_chunk:
+        return jax.vmap(one)(boxes)
+    pad = (-n) % box_chunk
+    padded = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)])
+    chunks = padded.reshape(-1, box_chunk, 4)
+    out = jax.lax.map(jax.vmap(one), chunks)
+    return out.reshape((-1,) + out.shape[2:])[:n]
 
 
 def roi_align_maxpool(features: jax.Array, boxes: jax.Array,

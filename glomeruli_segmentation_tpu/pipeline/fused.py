@@ -109,8 +109,13 @@ class EnsembleSegmenter:
                 self._forward_impl,
                 in_shardings=(data, data, data),
                 out_shardings=data)
+            self._forward_gather = jax.jit(
+                self._forward_gather_impl,
+                in_shardings=(data,) * 5,
+                out_shardings=data)
         else:
             self._forward = jax.jit(self._forward_impl)
+            self._forward_gather = jax.jit(self._forward_gather_impl)
 
     def _forward_impl(self, padded: jax.Array, heights: jax.Array,
                       widths: jax.Array) -> jax.Array:
@@ -154,6 +159,38 @@ class EnsembleSegmenter:
                                         jnp.asarray(heights),
                                         jnp.asarray(widths)))
 
+    def _forward_gather_impl(self, padded: jax.Array, heights: jax.Array,
+                             widths: jax.Array, ys: jax.Array,
+                             xs: jax.Array) -> jax.Array:
+        """Forward + per-crop nearest-index gather on device.
+
+        The full-resolution class maps are (B, 512, 1024) uint8 — ~25 MB a
+        batch, and the d2h link is the slide pipeline's bottleneck
+        (measured round 2: 0.6-0.7 s vs 0.5 s for the forward itself).
+        The /8 stitch only reads a nearest-downsample of each map, so the
+        caller passes per-crop gather tables (computed on host in float64,
+        byte-identical to :func:`..ops.preprocess.postprocess_nearest_host`)
+        and only (B, oh, ow) uint8 leaves the device.
+        """
+        maps = self._forward_impl(padded, heights, widths)
+
+        def one(m, y_idx, x_idx):
+            return m[y_idx][:, x_idx]
+
+        return jax.vmap(one)(maps, ys, xs)
+
+    def segment_batch_gather(self, padded: np.ndarray, heights: np.ndarray,
+                             widths: np.ndarray, ys: np.ndarray,
+                             xs: np.ndarray) -> np.ndarray:
+        """Padded crops -> per-crop gathered class maps (B, oh, ow).
+
+        ``ys``/``xs`` are (B, oh)/(B, ow) int32 row/column index tables
+        into the (in_height, in_width) network map; rows past a crop's
+        valid extent may hold any in-range index (the caller slices)."""
+        return np.asarray(self._forward_gather(
+            jnp.asarray(padded), jnp.asarray(heights), jnp.asarray(widths),
+            jnp.asarray(ys), jnp.asarray(xs)))
+
 
 def paste_downsampled_max(canvas: jax.Array, class_map: jax.Array,
                           x0_ds: int, y0_ds: int) -> jax.Array:
@@ -194,7 +231,19 @@ class FusedSlideSegmenter:
         # shape-specialized device dispatch per crop
         canvas = np.zeros((height // 8, width // 8), np.uint8)
         bs = self.ensemble.config.batch_size
+        net_h = self.ensemble.config.in_height
+        net_w = self.ensemble.config.in_width
         boxes = [[int(v) for v in det[:4]] for det in detections]
+        # without a full-resolution consumer, gather the /8 stitch maps on
+        # device and skip the 25 MB-per-batch class-map d2h (the pipeline's
+        # measured bottleneck; tables reproduce postprocess_nearest_host)
+        ds8 = on_crop is None
+
+        def nearest_idx(out_n: int, src_n: int, table_n: int) -> np.ndarray:
+            idx = np.minimum(np.floor(
+                np.arange(table_n) * (src_n / max(out_n, 1))).astype(np.int64),
+                src_n - 1)
+            return idx.astype(np.int32)
 
         def stage_batch(chunk):
             crops = [slide.read_region_array((x1, y1), 0,
@@ -212,7 +261,14 @@ class FusedSlideSegmenter:
                 padded[i, : c.shape[0], : c.shape[1]] = c
                 hs[i], ws[i] = c.shape[:2]
             hs[n:], ws[n:] = 1, 1
-            return chunk, n, padded, hs, ws
+            if not ds8:
+                return chunk, n, padded, hs, ws, None, None
+            ys = np.zeros((bs, max_h // 8), np.int32)
+            xs = np.zeros((bs, max_w // 8), np.int32)
+            for i, c in enumerate(crops):
+                ys[i] = nearest_idx(c.shape[0] // 8, net_h, max_h // 8)
+                xs[i] = nearest_idx(c.shape[1] // 8, net_w, max_w // 8)
+            return chunk, n, padded, hs, ws, ys, xs
 
         # double-buffered staging: a producer thread reads + pads the next
         # crop batch while the device runs the current one (the staged
@@ -233,8 +289,12 @@ class FusedSlideSegmenter:
             item = q.get()
             if item is SENTINEL:
                 break
-            chunk, n, padded, hs, ws = item
-            maps = self.ensemble.segment_batch_padded(padded, hs, ws)
+            chunk, n, padded, hs, ws, ys, xs = item
+            if ds8:
+                maps = self.ensemble.segment_batch_gather(padded, hs, ws,
+                                                          ys, xs)
+            else:
+                maps = self.ensemble.segment_batch_padded(padded, hs, ws)
             for (x1, y1, x2, y2), net_map in zip(chunk, maps[:n]):
                 from ..ops.preprocess import postprocess_nearest_host
 
@@ -242,7 +302,10 @@ class FusedSlideSegmenter:
                     full = postprocess_nearest_host(net_map, y2 - y1, x2 - x1)
                     on_crop((x1, y1, x2, y2), full)
                 ch, cw = (y2 - y1) // 8, (x2 - x1) // 8
-                small = postprocess_nearest_host(net_map, ch, cw)
+                if ds8:
+                    small = net_map  # already /8-gathered on device
+                else:
+                    small = postprocess_nearest_host(net_map, ch, cw)
                 y0, x0 = y1 // 8, x1 // 8
                 ch = min(ch, canvas.shape[0] - y0)
                 cw = min(cw, canvas.shape[1] - x0)

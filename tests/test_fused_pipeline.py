@@ -85,3 +85,22 @@ def test_fused_slide_segmentation(ensemble, tmp_path):
     for x1, y1, x2, y2, _ in detections:
         mask[y1 // 8: y2 // 8, x1 // 8: x2 // 8] = True
     assert (canvas[~mask] == 0).all()
+
+
+def test_segment_slide_ds8_matches_full_path(ensemble, tmp_path):
+    """The device-side /8 gather (taken when no full-res consumer exists)
+    must be byte-identical to the host postprocess_nearest_host stitch."""
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    img, _ = pas_like_image(1024, 1536, seed=21, n_glomeruli=3)
+    path = str(tmp_path / "s.tiff")
+    write_pyramidal_tiff(path, img, mpp=0.25, levels=3)
+    slide = Slide(path)
+    # ragged sizes incl. non-multiples of 8 to exercise the index tables
+    detections = [[256, 256, 640, 640, 0.9], [640, 384, 1021, 763, 0.9],
+                  [100, 700, 450, 1000, 0.9]]
+    fused = FusedSlideSegmenter(ensemble)
+    ds8 = fused.segment_slide(slide, detections)            # gather path
+    full = fused.segment_slide(slide, detections,
+                               on_crop=lambda box, m: None)  # full-res path
+    np.testing.assert_array_equal(ds8, full)
