@@ -121,12 +121,20 @@ class EnsembleSegmenter:
                       widths: jax.Array) -> jax.Array:
         """(B, maxH, maxW, 3) uint8 BGR + valid sizes -> (B, H, W) uint8."""
         cfg = self.config
+        # In the bf16 fast path, the resized batch and the fold-probability
+        # accumulator are the forward's dominant HBM traffic (re-read /
+        # read-modify-written once per fold: ~1.1 GB/fold at B=48 in f32).
+        # Keeping both in bf16 halves that; the f32/parity path is exact.
+        fast = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+        acc_dtype = jnp.bfloat16 if fast else jnp.float32
 
         def resize_one(img, h, w):
             return resize_bilinear_dynamic(img.astype(jnp.float32), h, w,
                                            cfg.in_height, cfg.in_width)
 
         resized = jax.vmap(resize_one)(padded, heights, widths)  # (B, H, W, 3)
+        if fast:
+            resized = resized.astype(jnp.bfloat16)
 
         if self.engine == "fused":
             def body(acc, inputs):
@@ -135,10 +143,11 @@ class EnsembleSegmenter:
                 with jax.default_matmul_precision(cfg.precision):
                     logits = self._fused_template.apply_packed(
                         pack["enc"], pack["dec"], x)
-                return acc + jax.nn.softmax(
-                    logits.astype(jnp.float32), axis=-1), None
+                probs = jax.nn.softmax(
+                    logits if fast else logits.astype(jnp.float32), axis=-1)
+                return acc + probs.astype(acc_dtype), None
 
-            init = jnp.zeros(resized.shape[:3] + (cfg.classes,), jnp.float32)
+            init = jnp.zeros(resized.shape[:3] + (cfg.classes,), acc_dtype)
             probs_sum, _ = jax.lax.scan(
                 body, init, (self._fused_packs, self.mean, self.std))
             return jnp.argmax(probs_sum, axis=-1).astype(jnp.uint8)
@@ -148,7 +157,9 @@ class EnsembleSegmenter:
             with jax.default_matmul_precision(cfg.precision):
                 logits = self.model.apply(variables,
                                           x.astype(cfg.compute_dtype))
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = jax.nn.softmax(
+                logits if fast else logits.astype(jnp.float32), axis=-1)
+            return probs.astype(acc_dtype)
 
         probs = jax.vmap(fold_forward)(self.variables, self.mean, self.std)
         return jnp.argmax(probs.mean(axis=0), axis=-1).astype(jnp.uint8)
