@@ -146,6 +146,45 @@ def bench_fused_segmentation(slide_path: str, centers) -> dict:
     }
 
 
+def bench_segformer(batch: int = 32) -> dict:
+    """SegFormer (MiT-B0) crop throughput on the chip — the GTCS variant's
+    hot loop (pipeline/segformer_test.py runs the reference's per-image
+    protocol; this measures the batched bf16 device rate)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from glomeruli_segmentation_tpu.models.segformer import (
+        Segformer,
+        SegformerConfig,
+    )
+
+    model = Segformer(SegformerConfig(num_labels=5))
+    x = jax.random.uniform(jax.random.key(0), (batch, 512, 512, 3),
+                           jnp.float32)
+    variables = model.init(jax.random.key(1), x[:1])
+
+    @jax.jit
+    def forward(v, b):
+        # scalar output: on this backend block_until_ready can no-op for
+        # some buffer states, so timing syncs via a host read of the
+        # reduced result (forces the full forward; adds ~nothing itself)
+        return jnp.argmax(model.apply(v, b.astype(jnp.bfloat16)),
+                          -1).sum()
+
+    for _ in range(3):
+        float(forward(variables, x))
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        float(forward(variables, x))
+    dt = (time.perf_counter() - t0) / iters
+    return {"metric": "segformer_crop_segmentation", "batch": batch,
+            "crops_per_sec": round(batch / dt, 1),
+            "ms_per_batch": round(dt * 1e3, 1)}
+
+
 def main():
     tmp = os.path.join(tempfile.gettempdir(), "gseg_bench_slide.tiff")
     centers_file = tmp + ".centers.npy"
@@ -155,6 +194,7 @@ def main():
     centers = np.load(centers_file)
     print(json.dumps(bench_detection(tmp)))
     print(json.dumps(bench_fused_segmentation(tmp, centers)))
+    print(json.dumps(bench_segformer()))
 
 
 if __name__ == "__main__":

@@ -150,10 +150,37 @@ def bench_torch_espnet_crop(repeats: int = 3) -> dict:
             "crops_per_sec_single_fold": round(1.0 / dt, 2)}
 
 
+def bench_torch_segformer_crop(repeats: int = 3) -> dict:
+    """MiT-B0 512x512 forward, torch CPU — the GTCS variant's reference
+    inference math (/root/reference/module/SegFormer/test/test.py:60-74
+    runs one crop per session step through HF transformers)."""
+    import torch
+    from transformers import SegformerConfig, SegformerForSemanticSegmentation
+
+    cfg = SegformerConfig(num_labels=5)  # MiT-B0 geometry (HF defaults)
+    model = SegformerForSemanticSegmentation(cfg).eval()
+    x = torch.rand(1, 3, 512, 512)
+    with torch.no_grad():
+        model(x)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = model(x).logits
+            out.argmax(1)
+        dt = (time.perf_counter() - t0) / repeats
+    return {"metric": "reference_segformer_crop_torch_cpu",
+            "sec_per_crop": round(dt, 3),
+            "crops_per_sec": round(1.0 / dt, 2)}
+
+
 def main():
     det = bench_torch_detection_window()
     merge = bench_merge()
     crop = bench_torch_espnet_crop()
+    try:
+        print(json.dumps(bench_torch_segformer_crop()))
+    except Exception as e:  # transformers optional
+        print(json.dumps({"metric": "reference_segformer_crop_torch_cpu",
+                          "error": repr(e)}))
     print(json.dumps(det))
     print(json.dumps(merge))
     print(json.dumps(crop))
