@@ -57,9 +57,13 @@ def bench_ours() -> float:
 
         @jax.jit
         def forward(batch):
-            return jnp.argmax(fused(batch.astype(jnp.bfloat16)), axis=-1)
+            # reduce to a scalar: jax.block_until_ready can silently
+            # no-op on the axon backend (CLAUDE.md), so the timing loop
+            # syncs via a host read of the reduced result instead
+            return jnp.argmax(fused(batch.astype(jnp.bfloat16)),
+                              axis=-1).sum()
 
-        call = lambda: forward(x)
+        call = lambda: float(forward(x))
     else:
         model = ESPNet(classes=5, p=2, q=8)
         variables = model.init(jax.random.key(1), x[:1])
@@ -67,18 +71,16 @@ def bench_ours() -> float:
         @jax.jit
         def forward(v, batch):
             logits = model.apply(v, batch.astype(jnp.bfloat16))
-            return jnp.argmax(logits, axis=-1)
+            return jnp.argmax(logits, axis=-1).sum()
 
-        call = lambda: forward(variables, x)
+        call = lambda: float(forward(variables, x))
 
-    out = call()
-    jax.block_until_ready(out)
+    call()
     for _ in range(WARMUP):
-        jax.block_until_ready(call())
+        call()
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = call()
-    jax.block_until_ready(out)
+        call()
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 
@@ -127,11 +129,16 @@ def bench_e2e_extra() -> dict:
     centers = np.load(centers_file)
     det = bench_e2e.bench_detection(tmp)
     seg = bench_e2e.bench_fused_segmentation(tmp, centers)
+    try:
+        sf = bench_e2e.bench_segformer()
+    except Exception:
+        sf = {}
     extra = {
         "detection_windows_per_sec": det.get("windows_per_sec"),
         "detection_sec_per_slide": det.get("sec_per_slide"),
         "fused_5fold_sec_per_slide": seg.get("sec_per_slide"),
         "fused_5fold_crops_per_sec": seg.get("crops_per_sec"),
+        "segformer_crops_per_sec": sf.get("crops_per_sec"),
     }
     if det.get("sec_per_slide") and seg.get("sec_per_slide"):
         e2e = det["sec_per_slide"] + seg["sec_per_slide"]
