@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_dimension", type=int, default=1024)
     parser.add_argument("--max_proposals", type=int, default=300)
     parser.add_argument("--no_overlay", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip slides already in the timing log and "
+                             "append to the merged CSV instead of starting "
+                             "fresh")
     return parser
 
 
@@ -88,8 +92,13 @@ def main(argv=None):
 
     staining_dir = GlomusHandler.get_staining_type(args.data_category)
     json_dir = args.json_dir or os.path.join(args.output_dir, "json")
+    completed = FusedEndToEnd.prepare_output(
+        args.output_dir, args.data_category, resume=args.resume)
     for entry in read_target_list(args.target_list):
         if entry.is_comment:
+            continue
+        if entry.specimen_id in completed:
+            print(f"skip {entry.specimen_id} (already processed)")
             continue
         target_dir = os.path.join(args.data_dir, staining_dir,
                                   entry.specimen_id)

@@ -103,6 +103,35 @@ class FusedEndToEnd:
         merger = BoxMerger(self.merge_overlap)
         return merger.merge_all(candidates, mpp_x, mpp_y)
 
+    @staticmethod
+    def prepare_output(output_dir: str, data_category: str,
+                       output_file_ext: str = "_GlomusMergedList_",
+                       resume: bool = False) -> set:
+        """Start-of-run bookkeeping for a multi-slide target list.
+
+        Fresh run: truncate the accumulated merged CSV + timing log.
+        Resume (SURVEY.md §5.3 — the detect stage's ``--resume`` contract):
+        keep both and return the patient ids already present in the timing
+        log so the caller can skip them."""
+        os.makedirs(output_dir, exist_ok=True)
+        csv_path = os.path.join(
+            output_dir, f"{data_category}{output_file_ext}.csv")
+        log_path = os.path.join(
+            output_dir, f"{data_category}{output_file_ext}_log.csv")
+        done: set = set()
+        if resume:
+            if os.path.isfile(log_path):
+                with open(log_path) as f:
+                    for line in f.readlines()[1:]:
+                        name = line.split(",")[0].strip().strip('"')
+                        if name:
+                            done.add(name)
+            return done
+        for path in (csv_path, log_path):
+            if os.path.isfile(path):
+                os.remove(path)
+        return done
+
     def run_slide(self, slide_path: str, output_dir: str, patient_id: str,
                   output_file_ext: str = "_GlomusMergedList_",
                   json_dir: Optional[str] = None,
@@ -120,10 +149,13 @@ class FusedEndToEnd:
             merged = self.merge_boxes(detections, mpp_x, mpp_y)
             t_detect = time.time() - t0
 
-            # merged CSV artifact (merge_overlaped_glomus.py:102-124 schema)
+            # merged CSV artifact (merge_overlaped_glomus.py:102-124
+            # schema).  Appended: a target list holds many slides and the
+            # reference merger emits one CSV for all of them; a fresh run
+            # truncates via prepare_output() before the first slide.
             csv_path = os.path.join(
                 output_dir, f"{self.data_category}{output_file_ext}.csv")
-            with open(csv_path, "w") as f:
+            with open(csv_path, "a") as f:
                 for rect in merged:
                     f.write(",{},\"{}\",{},{},{},{},{}\n".format(
                         patient_id, file_name, int(rect[0]), int(rect[1]),

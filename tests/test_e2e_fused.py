@@ -95,3 +95,37 @@ def test_e2e_matches_staged_pipeline(tmp_path, reference_models_dir):
     log = (out_dir / "OPT_PAS_GlomusMergedList__log.csv").read_text()
     assert log.startswith("file,time")
     assert patient in log
+
+
+@pytest.mark.slow
+def test_e2e_multi_slide_accumulates_and_resumes(tmp_path,
+                                                 reference_models_dir):
+    """A target list holds many slides: the merged CSV + timing log must
+    accumulate across run_slide calls (reference emits one CSV for the
+    whole list), and --resume's bookkeeping must skip completed slides."""
+    slide1, _, p1 = _make_slide(tmp_path, patient="H16-10001")
+    slide2, _, p2 = _make_slide(tmp_path, patient="H16-10002")
+    ensemble = EnsembleSegmenter(EnsembleConfig(
+        checkpoints=[str(reference_models_dir / "espnet_fold1.pth")],
+        folds=(1,), batch_size=2, compute_dtype="float32"))
+    pipe = FusedEndToEnd(BlobBackend(), ensemble, window_size=100,
+                         overlap_ratio=0.5, detect_conf=0.5, merge_conf=0.9,
+                         merge_overlap=0.35)
+    out_dir = tmp_path / "multi"
+    done = FusedEndToEnd.prepare_output(str(out_dir), "OPT_PAS")
+    assert done == set()
+    pipe.run_slide(str(slide1), str(out_dir), p1, write_overlay=False)
+    pipe.run_slide(str(slide2), str(out_dir), p2, write_overlay=False)
+
+    csv_rows = (out_dir / "OPT_PAS_GlomusMergedList_.csv").read_text()
+    assert p1 in csv_rows and p2 in csv_rows
+    log = (out_dir / "OPT_PAS_GlomusMergedList__log.csv").read_text()
+    assert p1 in log and p2 in log
+
+    # resume: both slides are recorded as done
+    done = FusedEndToEnd.prepare_output(str(out_dir), "OPT_PAS", resume=True)
+    assert done == {p1, p2}
+    # fresh run truncates
+    done = FusedEndToEnd.prepare_output(str(out_dir), "OPT_PAS")
+    assert done == set()
+    assert not (out_dir / "OPT_PAS_GlomusMergedList_.csv").exists()
