@@ -146,6 +146,128 @@ def bench_fused_segmentation(slide_path: str, centers) -> dict:
     }
 
 
+def _real_inception_v2_consts(num_classes: int = 1) -> dict:
+    """Random weights in the REAL inception_v2 OD-API export layout
+    (slim inception_v2 widths; frozen-graph names per convert/pb_import) —
+    timing-valid, accuracy-blind, like the native-detector bench."""
+    rng = np.random.RandomState(0)
+    F = "FirstStageFeatureExtractor/InceptionV2/"
+    S = "SecondStageFeatureExtractor/InceptionV2/"
+    consts = {}
+
+    def conv(scope, k, cin, cout, bias=False):
+        consts[scope + "/weights"] = rng.normal(
+            0, 0.4 / np.sqrt(k * k * cin), (k, k, cin, cout)).astype(
+                np.float32)
+        if bias:
+            consts[scope + "/biases"] = np.zeros(cout, np.float32)
+        else:
+            consts[scope + "/BatchNorm/beta"] = np.zeros(cout, np.float32)
+            consts[scope + "/BatchNorm/moving_mean"] = np.zeros(
+                cout, np.float32)
+            consts[scope + "/BatchNorm/moving_variance"] = np.ones(
+                cout, np.float32)
+        return cout
+
+    def block(prefix, name, cin, widths):
+        p = f"{prefix}{name}/"
+        if len(widths) == 2:  # downsample block
+            (b0a, b0b), (b1a, b1b, b1c) = widths
+            conv(p + "Branch_0/Conv2d_0a_1x1", 1, cin, b0a)
+            conv(p + "Branch_0/Conv2d_1a_3x3", 3, b0a, b0b)
+            conv(p + "Branch_1/Conv2d_0a_1x1", 1, cin, b1a)
+            conv(p + "Branch_1/Conv2d_0b_3x3", 3, b1a, b1b)
+            conv(p + "Branch_1/Conv2d_1a_3x3", 3, b1b, b1c)
+            return b0b + b1c + cin
+        (b0,), (b1a, b1b), (b2a, b2b, b2c), (b3,) = widths
+        conv(p + "Branch_0/Conv2d_0a_1x1", 1, cin, b0)
+        conv(p + "Branch_1/Conv2d_0a_1x1", 1, cin, b1a)
+        conv(p + "Branch_1/Conv2d_0b_3x3", 3, b1a, b1b)
+        conv(p + "Branch_2/Conv2d_0a_1x1", 1, cin, b2a)
+        conv(p + "Branch_2/Conv2d_0b_3x3", 3, b2a, b2b)
+        conv(p + "Branch_2/Conv2d_0c_3x3", 3, b2b, b2c)
+        conv(p + "Branch_3/Conv2d_0b_1x1", 1, cin, b3)
+        return b0 + b1b + b2c + b3
+
+    # stem: separable 7x7/2 depth 64 (depth_multiplier 8)
+    consts[F + "Conv2d_1a_7x7/depthwise_weights"] = rng.normal(
+        0, 0.1, (7, 7, 3, 8)).astype(np.float32)
+    consts[F + "Conv2d_1a_7x7/pointwise_weights"] = rng.normal(
+        0, 0.1, (1, 1, 24, 64)).astype(np.float32)
+    consts[F + "Conv2d_1a_7x7/BatchNorm/beta"] = np.zeros(64, np.float32)
+    consts[F + "Conv2d_1a_7x7/BatchNorm/moving_mean"] = np.zeros(
+        64, np.float32)
+    consts[F + "Conv2d_1a_7x7/BatchNorm/moving_variance"] = np.ones(
+        64, np.float32)
+    c = 64
+    c = conv(F + "Conv2d_2b_1x1", 1, c, 64)
+    c = conv(F + "Conv2d_2c_3x3", 3, c, 192)
+    first_widths = {
+        "Mixed_3b": (((64,), (64, 64), (64, 96, 96), (32,))),
+        "Mixed_3c": (((64,), (64, 96), (64, 96, 96), (64,))),
+        "Mixed_4a": (((128, 160), (64, 96, 96))),
+        "Mixed_4b": (((224,), (64, 96), (96, 128, 128), (128,))),
+        "Mixed_4c": (((192,), (96, 128), (96, 128, 128), (128,))),
+        "Mixed_4d": (((160,), (128, 160), (128, 160, 160), (96,))),
+        "Mixed_4e": (((96,), (128, 192), (160, 192, 192), (96,))),
+    }
+    for name, widths in first_widths.items():
+        c = block(F, name, c, widths)
+    conv("Conv", 3, c, 512, bias=True)
+    conv("FirstStageBoxPredictor/BoxEncodingPredictor", 1, 512, 12 * 4,
+         bias=True)
+    conv("FirstStageBoxPredictor/ClassPredictor", 1, 512, 12 * 2, bias=True)
+    second_widths = {
+        "Mixed_5a": (((128, 192), (192, 256, 256))),
+        "Mixed_5b": (((352,), (192, 320), (160, 224, 224), (128,))),
+        "Mixed_5c": (((352,), (192, 320), (192, 224, 224), (128,))),
+    }
+    for name, widths in second_widths.items():
+        c = block(S, name, c, widths)
+    consts["SecondStageBoxPredictor/BoxEncodingPredictor/weights"] = (
+        rng.normal(0, 0.05, (c, 4 * num_classes)).astype(np.float32))
+    consts["SecondStageBoxPredictor/BoxEncodingPredictor/biases"] = (
+        np.zeros(4 * num_classes, np.float32))
+    consts["SecondStageBoxPredictor/ClassPredictor/weights"] = rng.normal(
+        0, 0.05, (c, num_classes + 1)).astype(np.float32)
+    consts["SecondStageBoxPredictor/ClassPredictor/biases"] = np.zeros(
+        num_classes + 1, np.float32)
+    return consts
+
+
+def bench_od_api_detector(batch: int = 4) -> dict:
+    """The reference's actual detector architecture (inception_v2 OD-API
+    Faster R-CNN, as imported from frozen_inference_graph.pb) on the chip:
+    1024-px windows resized by the graph's keep-aspect rule to 600x600."""
+    import time
+
+    from glomeruli_segmentation_tpu.pipeline.detect import (
+        ODAPIDetectorBackend,
+    )
+
+    backend = ODAPIDetectorBackend(consts=_real_inception_v2_consts(),
+                                   batch_size=batch)
+    xs = [np.random.randint(0, 255, (batch, WINDOW, WINDOW, 3)).astype(
+        np.uint8) for _ in range(7)]
+    backend.detect_batch(xs[0])  # compile
+    for _ in range(2):
+        backend.detect_batch(xs[0])
+    # the production scan pipelines submit(N+1) before read(N) so the
+    # (post-exec slow) h2d overlaps device compute — time that pattern
+    t0 = time.perf_counter()
+    iters = 6
+    pending = backend.detect_batch_submit(xs[0])
+    for i in range(1, iters + 1):
+        nxt = backend.detect_batch_submit(xs[i])
+        backend.read_detections(pending)
+        pending = nxt
+    backend.read_detections(pending)
+    dt = (time.perf_counter() - t0) / (iters + 1)
+    return {"metric": "od_api_detector_window_scan", "batch": batch,
+            "windows_per_sec": round(batch / dt, 1),
+            "ms_per_batch": round(dt * 1e3, 1)}
+
+
 def bench_segformer(batch: int = 32) -> dict:
     """SegFormer (MiT-B0) crop throughput on the chip — the GTCS variant's
     hot loop (pipeline/segformer_test.py runs the reference's per-image
@@ -195,6 +317,7 @@ def main():
     print(json.dumps(bench_detection(tmp)))
     print(json.dumps(bench_fused_segmentation(tmp, centers)))
     print(json.dumps(bench_segformer()))
+    print(json.dumps(bench_od_api_detector()))
 
 
 if __name__ == "__main__":

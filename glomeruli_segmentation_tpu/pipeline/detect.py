@@ -37,12 +37,52 @@ class DetectorBackend:
     returns numpy ``(boxes, scores, classes, num)`` with boxes normalized
     ``[ymin, xmin, ymax, xmax]`` sorted by descending score per window —
     the frozen-graph output contract (detect_glomus_test.py:349-368).
+
+    Device backends may additionally implement the async pair
+    ``detect_batch_submit(images) -> handle`` / ``read_detections(handle)``
+    so the scan loop can overlap batch N+1's transfer+dispatch with
+    reading batch N (the host->device channel degrades ~40x once a large
+    program has executed on the axon tunnel).
     """
 
     batch_size: int = 8
 
     def detect_batch(self, images: np.ndarray):
         raise NotImplementedError
+
+    detect_batch_submit = None  # async pair unsupported by default
+
+    def read_detections(self, handle):
+        raise NotImplementedError
+
+
+def _read_detections(out):
+    """Device detection dict -> host numpy tuple via ONE readback.
+
+    Each tiny device->host read pays ~30 ms of tunnel latency (profiled
+    round 2), so the four output tensors are concatenated on device and
+    split on host."""
+    import jax.numpy as jnp
+
+    b = out["detection_boxes"]  # (B, M, 4) float32
+    n, m = b.shape[:2]
+    packed = np.asarray(jnp.concatenate([
+        b.reshape(n, -1),
+        out["detection_scores"].astype(jnp.float32),
+        out["detection_classes"].astype(jnp.float32),
+        out["num_detections"].reshape(n, 1).astype(jnp.float32)], axis=1))
+    return (packed[:, : m * 4].reshape(n, m, 4),
+            packed[:, m * 4: m * 5],
+            packed[:, m * 5: m * 6],
+            packed[:, -1])
+
+
+def _data_sharding(mesh):
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("data"))
 
 
 def _make_backend_mesh(data_parallel: int, batch_size: int):
@@ -125,13 +165,18 @@ class JaxDetectorBackend(DetectorBackend):
             self._compiled[key] = fn
         return self._compiled[key]
 
-    def detect_batch(self, images: np.ndarray):
+    def detect_batch_submit(self, images: np.ndarray):
+        import jax
+
         fn = self._get_fn(images.shape[1], images.shape[2])
-        out = fn(self.variables, images)
-        return (np.asarray(out["detection_boxes"]),
-                np.asarray(out["detection_scores"]),
-                np.asarray(out["detection_classes"]),
-                np.asarray(out["num_detections"]))
+        return fn(self.variables,
+                  jax.device_put(images, _data_sharding(self.mesh)))
+
+    def read_detections(self, handle):
+        return _read_detections(handle)
+
+    def detect_batch(self, images: np.ndarray):
+        return _read_detections(self.detect_batch_submit(images))
 
 
 class ODAPIDetectorBackend(DetectorBackend):
@@ -141,22 +186,37 @@ class ODAPIDetectorBackend(DetectorBackend):
     (inception_v2 trunk, BN folded), then jitted once per window geometry.
 
     The graph's internal ``keep_aspect_ratio_resizer`` (min 600 / max 1024)
-    is applied on host with cv2 bilinear (half-pixel sampling; TF1's
-    resize_bilinear samples at ``scale*i`` — a sub-pixel deviation).
-    Normalized output boxes are aspect-preserving, so they map back to the
-    window unchanged, exactly as the frozen graph's do
-    (detect_glomus_test.py:359-368).
+    is applied with cv2-style half-pixel bilinear (TF1's resize_bilinear
+    samples at ``scale*i`` — a sub-pixel deviation either way).
+    ``device_resize`` picks where: on host (cv2, default — the 1024-px
+    window shrinks to 600 px before crossing the host->device link, which
+    degrades ~40x once a large program has executed on this tunnel) or
+    fused into the device program (preferable on hardware with a healthy
+    PCIe/ICI path).  Normalized output boxes are aspect-preserving, so
+    they map back to the window unchanged, exactly as the frozen graph's
+    do (detect_glomus_test.py:359-368).
     """
 
-    def __init__(self, pb_path: str, batch_size: int = 8,
+    def __init__(self, pb_path: Optional[str] = None, batch_size: int = 8,
                  compute_dtype: str = "bfloat16", data_parallel: int = 0,
+                 consts=None, device_resize: bool = False,
                  **config_overrides):
-        from ..convert.pb_import import load_od_api_detector_params
+        from ..convert.pb_import import (
+            assemble_od_api_params,
+            load_od_api_detector_params,
+        )
 
-        self.params, self.num_classes = load_od_api_detector_params(pb_path)
+        if consts is not None:
+            # pre-extracted constant dict (tests/benches synthesize OD-API
+            # layouts without writing a .pb file)
+            self.params, self.num_classes = assemble_od_api_params(consts)
+        else:
+            self.params, self.num_classes = load_od_api_detector_params(
+                pb_path)
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
         self.config_overrides = config_overrides
+        self.device_resize = device_resize
         self._compiled = {}
         self.mesh = _make_backend_mesh(data_parallel, batch_size)
 
@@ -179,32 +239,47 @@ class ODAPIDetectorBackend(DetectorBackend):
 
             cfg = dataclasses.replace(base, image_size=(rh, rw))
             model = ODAPIFasterRCNN(self.params, cfg, self.compute_dtype)
+
+            def fn(images, _model=model, _rh=rh, _rw=rw, _h=h, _w=w):
+                if self.device_resize and (_rh, _rw) != (_h, _w):
+                    import jax
+                    import jax.numpy as jnp
+
+                    from ..ops.resize import resize_bilinear
+
+                    images = jax.vmap(
+                        lambda im: resize_bilinear(
+                            im.astype(jnp.float32), _rh, _rw))(images)
+                return _model.detect(images)
+
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 model.params = jax.device_put(
                     model.params, NamedSharding(self.mesh, P()))
-                fn = _shard_detect_fn(self.mesh, model.detect, 1)
+                fn = _shard_detect_fn(self.mesh, fn, 1)
             else:
-                fn = jax.jit(model.detect)
+                fn = jax.jit(fn)
             self._compiled[key] = ((rh, rw), fn)
         return self._compiled[key]
 
-    def detect_batch(self, images: np.ndarray):
-        import cv2
+    def detect_batch_submit(self, images: np.ndarray):
+        import jax
 
         (rh, rw), fn = self._get_fn(images.shape[1], images.shape[2])
-        if (rh, rw) != images.shape[1:3]:
-            resized = np.stack([
+        if not self.device_resize and (rh, rw) != images.shape[1:3]:
+            import cv2
+
+            images = np.stack([
                 cv2.resize(im, (rw, rh), interpolation=cv2.INTER_LINEAR)
                 for im in images])
-        else:
-            resized = images
-        out = fn(resized)
-        return (np.asarray(out["detection_boxes"]),
-                np.asarray(out["detection_scores"]),
-                np.asarray(out["detection_classes"]),
-                np.asarray(out["num_detections"]))
+        return fn(jax.device_put(images, _data_sharding(self.mesh)))
+
+    def read_detections(self, handle):
+        return _read_detections(handle)
+
+    def detect_batch(self, images: np.ndarray):
+        return _read_detections(self.detect_batch_submit(images))
 
 
 def threshold_boxes(boxes: np.ndarray, scores: np.ndarray, window_x: int,
@@ -381,12 +456,8 @@ class GlomusDetector(GlomusHandler):
     def _run_windows(self, backend, windows, window_x, window_y, scale,
                      offset_fn, output_file, site_name, specimen_id,
                      file_name):
-        for batch in self._iter_batches(windows):
-            images = np.stack([im for _, _, im in batch])
-            if len(batch) < self.batch_size:
-                pad = np.repeat(images[-1:], self.batch_size - len(batch), 0)
-                images = np.concatenate([images, pad])
-            boxes, scores, classes, num = backend.detect_batch(images)
+        def emit(batch, results):
+            boxes, scores, classes, num = results
             for (i, j, _), b, s in zip(batch, boxes, scores):
                 bs = threshold_boxes(b, s, window_x, window_y,
                                      self.CONF_THRESH)
@@ -395,6 +466,23 @@ class GlomusDetector(GlomusHandler):
                                            output_file, site_name,
                                            specimen_id, file_name,
                                            scale)
+
+        submit = getattr(backend, "detect_batch_submit", None)
+        pending = None  # one-deep pipeline (see DetectorBackend docstring)
+        for batch in self._iter_batches(windows):
+            images = np.stack([im for _, _, im in batch])
+            if len(batch) < self.batch_size:
+                pad = np.repeat(images[-1:], self.batch_size - len(batch), 0)
+                images = np.concatenate([images, pad])
+            if submit is None:
+                emit(batch, backend.detect_batch(images))
+                continue
+            handle = submit(images)
+            if pending is not None:
+                emit(pending[0], backend.read_detections(pending[1]))
+            pending = (batch, handle)
+        if pending is not None:
+            emit(pending[0], backend.read_detections(pending[1]))
 
     def scan_region(self, backend, slide, site_name, specimen_id, file_name,
                     output_file):

@@ -102,6 +102,7 @@ class EnsembleSegmenter:
 
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
+            self._data_sharding = data
             self.variables = jax.device_put(self.variables, repl)
             self.mean = jax.device_put(self.mean, repl)
             self.std = jax.device_put(self.std, repl)
@@ -114,6 +115,7 @@ class EnsembleSegmenter:
                 in_shardings=(data,) * 5,
                 out_shardings=data)
         else:
+            self._data_sharding = None
             self._forward = jax.jit(self._forward_impl)
             self._forward_gather = jax.jit(self._forward_gather_impl)
 
@@ -166,9 +168,13 @@ class EnsembleSegmenter:
 
     def segment_batch_padded(self, padded: np.ndarray, heights: np.ndarray,
                              widths: np.ndarray) -> np.ndarray:
-        return np.asarray(self._forward(jnp.asarray(padded),
-                                        jnp.asarray(heights),
-                                        jnp.asarray(widths)))
+        # explicit device_put: the implicit numpy->device path (and
+        # jnp.asarray) can ride a ~40 MB/s slow channel on the axon
+        # tunnel vs ~1.4 GB/s for device_put (profiled round 2)
+        s = self._data_sharding
+        return np.asarray(self._forward(jax.device_put(padded, s),
+                                        jax.device_put(heights, s),
+                                        jax.device_put(widths, s)))
 
     def _forward_gather_impl(self, padded: jax.Array, heights: jax.Array,
                              widths: jax.Array, ys: jax.Array,
@@ -198,9 +204,27 @@ class EnsembleSegmenter:
         ``ys``/``xs`` are (B, oh)/(B, ow) int32 row/column index tables
         into the (in_height, in_width) network map; rows past a crop's
         valid extent may hold any in-range index (the caller slices)."""
-        return np.asarray(self._forward_gather(
-            jnp.asarray(padded), jnp.asarray(heights), jnp.asarray(widths),
-            jnp.asarray(ys), jnp.asarray(xs)))
+        return np.asarray(self.submit_batch_gather(padded, heights, widths,
+                                                   ys, xs))
+
+    def submit_batch_gather(self, padded: np.ndarray, heights: np.ndarray,
+                            widths: np.ndarray, ys: np.ndarray,
+                            xs: np.ndarray):
+        """Async form: transfer + dispatch, return the device array
+        without reading it back.  The slide loop submits batch N+1 before
+        reading batch N so the (slow post-exec) h2d overlaps compute."""
+        s = self._data_sharding
+        return self._forward_gather(
+            jax.device_put(padded, s), jax.device_put(heights, s),
+            jax.device_put(widths, s), jax.device_put(ys, s),
+            jax.device_put(xs, s))
+
+    def submit_batch_padded(self, padded: np.ndarray, heights: np.ndarray,
+                            widths: np.ndarray):
+        s = self._data_sharding
+        return self._forward(jax.device_put(padded, s),
+                             jax.device_put(heights, s),
+                             jax.device_put(widths, s))
 
 
 def paste_downsampled_max(canvas: jax.Array, class_map: jax.Array,
@@ -296,21 +320,26 @@ class FusedSlideSegmenter:
 
         threading.Thread(target=producer, daemon=True).start()
         start = 0
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
+
+        def submit(item):
             chunk, n, padded, hs, ws, ys, xs = item
             if ds8:
-                maps = self.ensemble.segment_batch_gather(padded, hs, ws,
-                                                          ys, xs)
+                out = self.ensemble.submit_batch_gather(padded, hs, ws,
+                                                        ys, xs)
             else:
-                maps = self.ensemble.segment_batch_padded(padded, hs, ws)
+                out = self.ensemble.submit_batch_padded(padded, hs, ws)
+            return chunk, n, out
+
+        def drain(pending):
+            nonlocal start
+            chunk, n, out = pending
+            maps = np.asarray(out)
             for (x1, y1, x2, y2), net_map in zip(chunk, maps[:n]):
                 from ..ops.preprocess import postprocess_nearest_host
 
                 if on_crop is not None:
-                    full = postprocess_nearest_host(net_map, y2 - y1, x2 - x1)
+                    full = postprocess_nearest_host(net_map, y2 - y1,
+                                                    x2 - x1)
                     on_crop((x1, y1, x2, y2), full)
                 ch, cw = (y2 - y1) // 8, (x2 - x1) // 8
                 if ds8:
@@ -325,4 +354,19 @@ class FusedSlideSegmenter:
             start += n
             if progress:
                 print(f"{start}/{len(boxes)} crops")
+
+        # one-deep pipeline: batch N+1's h2d + dispatch are issued before
+        # batch N's results are read, overlapping the transfer (slow in
+        # the post-exec tunnel state, CLAUDE.md) with device compute
+        pending = None
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            submitted = submit(item)
+            if pending is not None:
+                drain(pending)
+            pending = submitted
+        if pending is not None:
+            drain(pending)
         return canvas
