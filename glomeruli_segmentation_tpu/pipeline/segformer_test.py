@@ -140,7 +140,8 @@ def run_segformer_test(args) -> None:
             image_file = test_ds.images[idx]
             specimen_id = image_file.split("/")[-2]
             file_name = image_file.split("/")[-1]
-            logits = forward(jnp.asarray(item["pixel_values"][None]))
+            logits = forward(jax.device_put(
+                np.asarray(item["pixel_values"])[None]))
             gt = item["labels"]
             up = upsample_logits(logits, gt.shape[0], gt.shape[1])
             pred = np.asarray(jnp.argmax(up, -1))[0]

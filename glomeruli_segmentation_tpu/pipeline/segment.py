@@ -158,9 +158,11 @@ class EspnetSegmenter:
             for i, im in enumerate(images_bgr):
                 padded[i, : im.shape[0], : im.shape[1]] = im
                 hs[i], ws[i] = im.shape[:2]
+            # explicit device_put: fast transfer channel (CLAUDE.md)
             return preprocess_batch_device(
-                jnp.asarray(padded), jnp.asarray(hs), jnp.asarray(ws),
-                self._mean_std, cfg.in_height, cfg.in_width)
+                jax.device_put(padded), jax.device_put(hs),
+                jax.device_put(ws), self._mean_std, cfg.in_height,
+                cfg.in_width)
         arrs = [preprocess_host(im, cfg.mean, cfg.std, cfg.in_width,
                                 cfg.in_height) for im in images_bgr]
         return jnp.asarray(np.stack(arrs))

@@ -182,8 +182,9 @@ def train_detector(staining: str, data_dir: str, target_list: str,
     for i in range(config.steps):
         x, gb, gc, gv = sampler.sample_batch(rng)
         params, batch_stats, opt_state, losses = step(
-            params, batch_stats, opt_state, jnp.asarray(x, jnp.float32),
-            jnp.asarray(gb), jnp.asarray(gc), jnp.asarray(gv))
+            params, batch_stats, opt_state,
+            jax.device_put(np.asarray(x, np.float32)), jax.device_put(gb),
+            jax.device_put(gc), jax.device_put(gv))
         if i % log_every == 0:
             print(f"step {i}: " + ", ".join(
                 f"{k}={float(v):.4f}" for k, v in losses.items()))

@@ -152,6 +152,17 @@ class EspnetTrainer:
             y = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
         return x, y, n
 
+    def _put(self, arr: np.ndarray):
+        """Explicit batch staging: jax.device_put rides the fast transfer
+        channel on the axon tunnel (the implicit numpy->jit path can be
+        ~40x slower once a large program has executed, CLAUDE.md); with a
+        mesh the batch is placed pre-sharded over 'data'."""
+        if self.mesh is None:
+            return jax.device_put(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+
     def _shard(self, step, training: bool):
         """Wrap a step function with data-parallel shardings over the mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -212,8 +223,8 @@ class EspnetTrainer:
             step = self._get_step(model, tx, x.shape, True)
             (state["params"], state["batch_stats"], state["opt_state"],
              loss, pred) = step(state["params"], state["batch_stats"],
-                                state["opt_state"], jnp.asarray(x),
-                                jnp.asarray(y))
+                                state["opt_state"], self._put(x),
+                                self._put(y))
             loss = float(loss)
             losses.append(loss)
             iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
@@ -231,7 +242,7 @@ class EspnetTrainer:
             x, y, n_real = self._pad_batch(np.asarray(x), np.asarray(y))
             step = self._get_step(model, tx, x.shape, False)
             loss, pred = step(state["params"], state["batch_stats"],
-                              jnp.asarray(x), jnp.asarray(y))
+                              self._put(x), self._put(y))
             losses.append(float(loss))
             iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
         overall_acc, per_class_acc, per_class_iou, miou = iou_eval.get_metric()

@@ -193,8 +193,8 @@ def train_segformer(args) -> str:
     for epoch in range(args.max_epoch):
         for x, y in train_loader:
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, jnp.asarray(x),
-                jnp.asarray(y))
+                params, batch_stats, opt_state, jax.device_put(x),
+                jax.device_put(y))
             step += 1
         log_f.write(json.dumps({"loss": float(loss),
                                 "epoch": epoch + 1}) + "\n")
