@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="keep_aspect_ratio_resizer max dimension")
     parser.add_argument("--max_proposals", type=int, default=300,
                         help="first-stage max proposals")
+    parser.add_argument("--device_resize", action="store_true",
+                        help="fuse the keep-aspect window resize into the "
+                             "device program (best on hardware with a fast "
+                             "host->device link; the default host cv2 "
+                             "resize sends fewer bytes)")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard window batches over an N-device mesh "
                              "(0 = single device, -1 = all devices); "
@@ -92,7 +97,8 @@ def main(argv=None):
         args.model, args.model_name, args.batch_size,
         od_api_overrides={"min_dimension": args.min_dimension,
                           "max_dimension": args.max_dimension,
-                          "max_proposals": args.max_proposals},
+                          "max_proposals": args.max_proposals,
+                          "device_resize": args.device_resize},
         data_parallel=args.data_parallel)
     detector = GlomusDetector(args.data_category, args.target_list,
                               args.data_dir, args.output_dir,

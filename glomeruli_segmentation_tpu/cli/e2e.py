@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--min_dimension", type=int, default=600)
     parser.add_argument("--max_dimension", type=int, default=1024)
     parser.add_argument("--max_proposals", type=int, default=300)
+    parser.add_argument("--device_resize", action="store_true",
+                        help="fuse the keep-aspect window resize into the "
+                             "device program (frozen-graph backend)")
     parser.add_argument("--no_overlay", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already in the timing log and "
@@ -67,7 +70,8 @@ def main(argv=None):
         args.model, args.model_name, args.batch_size,
         od_api_overrides={"min_dimension": args.min_dimension,
                           "max_dimension": args.max_dimension,
-                          "max_proposals": args.max_proposals},
+                          "max_proposals": args.max_proposals,
+                          "device_resize": args.device_resize},
         data_parallel=args.data_parallel)
 
     ckpts = [os.path.join(args.segmentation_weights_dir,
