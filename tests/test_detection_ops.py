@@ -102,3 +102,26 @@ def test_crop_and_resize_identity_and_subcrop():
     out = crop_and_resize(jnp.asarray(feat),
                           jnp.asarray([[0.0, 0.0, 7 / 15, 7 / 15]]), 8)
     np.testing.assert_allclose(np.asarray(out[0]), feat[:8, :8], atol=1e-5)
+
+
+def test_crop_and_resize_matmul_matches_gather():
+    """The MXU two-tap-matrix crop must equal the gather formulation
+    (exact on CPU; on TPU they differ only at default-matmul-precision
+    truncation level)."""
+    import jax.numpy as jnp
+
+    from glomeruli_segmentation_tpu.ops.roi_align import (
+        crop_and_resize,
+        crop_and_resize_matmul,
+    )
+
+    rng = np.random.RandomState(7)
+    feat = jnp.asarray(rng.rand(24, 32, 20).astype(np.float32))
+    n = 150  # exercises the 100-box chunking
+    y1 = rng.uniform(0, 0.8, n); y2 = y1 + rng.uniform(0.05, 0.2, n)
+    x1 = rng.uniform(0, 0.8, n); x2 = x1 + rng.uniform(0.05, 0.2, n)
+    boxes = jnp.asarray(np.stack([y1, x1, np.minimum(y2, 1.0),
+                                  np.minimum(x2, 1.0)], 1).astype(np.float32))
+    a = np.asarray(crop_and_resize(feat, boxes, 14))
+    b = np.asarray(crop_and_resize_matmul(feat, boxes, 14))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
