@@ -128,6 +128,12 @@ def run_segformer_test(args) -> None:
     def forward(x):
         return model.apply(variables, x)
 
+    # crops arrive uniformly resized (ResizedGlomerularDataset), so the
+    # forward batches ``--batch_size`` crops per dispatch (the reference
+    # feeds its session one crop at a time, test.py:60-74; per-image
+    # metrics/CSV rows below are unchanged).  The tail pads by repeating
+    # the last crop so one compiled geometry serves the whole sweep.
+    bs = max(1, int(getattr(args, "batch_size", 1) or 1))
     metrics_sum: Dict[str, np.ndarray] = {}
     data_len = len(test_ds)
     with open(os.path.join(report_root, "pred_summary_pixel.csv"),
@@ -135,29 +141,38 @@ def run_segformer_test(args) -> None:
         writer = csv.writer(summary_pixel)
         writer.writerow(["specimen_id", "filename"] + GTCS_COLUMNS
                         + ["mIoU"])
-        for idx in range(data_len):
-            item = test_ds.get(idx)
-            image_file = test_ds.images[idx]
-            specimen_id = image_file.split("/")[-2]
-            file_name = image_file.split("/")[-1]
-            logits = forward(jax.device_put(
-                np.asarray(item["pixel_values"])[None]))
-            gt = item["labels"]
-            up = upsample_logits(logits, gt.shape[0], gt.shape[1])
-            pred = np.asarray(jnp.argmax(up, -1))[0]
-            metrics = mean_iou([pred], [gt], args.num_labels,
-                               ignore_index=255)
-            for key, value in metrics.items():
-                metrics_sum[key] = metrics_sum.get(key, 0) + value
-            if args.save_image:
-                save_triptych(pred, gt, image_file, report_root,
-                              specimen_id, file_name)
-            p = metrics["total_area_pred_label"]
-            pixels = [p[0], p[1] + p[2] + p[3] + p[4], p[2], p[3], p[4]]
-            writer.writerow([specimen_id, file_name] + list(pixels)
-                            + [metrics["mean_iou"]])
-            if (idx + 1) % 10 == 0:
-                print(f"{idx + 1}/{data_len}")
+        for start in range(0, data_len, bs):
+            idxs = list(range(start, min(start + bs, data_len)))
+            items = [test_ds.get(i) for i in idxs]
+            batch = np.stack([np.asarray(it["pixel_values"])
+                              for it in items])
+            if len(idxs) < bs:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], bs - len(idxs), axis=0)])
+            batch_logits = forward(jax.device_put(batch))
+            yield_items = zip(idxs, items)
+            for pos, (idx, item) in enumerate(yield_items):
+                image_file = test_ds.images[idx]
+                specimen_id = image_file.split("/")[-2]
+                file_name = image_file.split("/")[-1]
+                logits = batch_logits[pos: pos + 1]
+                gt = item["labels"]
+                up = upsample_logits(logits, gt.shape[0], gt.shape[1])
+                pred = np.asarray(jnp.argmax(up, -1))[0]
+                metrics = mean_iou([pred], [gt], args.num_labels,
+                                   ignore_index=255)
+                for key, value in metrics.items():
+                    metrics_sum[key] = metrics_sum.get(key, 0) + value
+                if args.save_image:
+                    save_triptych(pred, gt, image_file, report_root,
+                                  specimen_id, file_name)
+                p = metrics["total_area_pred_label"]
+                pixels = [p[0], p[1] + p[2] + p[3] + p[4], p[2], p[3],
+                          p[4]]
+                writer.writerow([specimen_id, file_name] + list(pixels)
+                                + [metrics["mean_iou"]])
+                if (idx + 1) % 10 == 0:
+                    print(f"{idx + 1}/{data_len}")
 
     # 0/0 -> NaN is the mmseg convention for absent classes; the nanmeans
     # below skip them (reference mean_iou semantics)
