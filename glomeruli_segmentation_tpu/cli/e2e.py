@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--json_dir", type=str, default=None,
                         help="write per-crop labelme JSONs here "
                              "(default: <output_dir>/json)")
+    parser.add_argument("--no_json", action="store_true",
+                        help="skip per-crop labelme JSONs; unlocks the "
+                             "device-side /8 stitch gather (full-res "
+                             "class maps never cross the d2h link)")
     parser.add_argument("--window_size", type=int, default=2000)
     parser.add_argument("--overlap_ratio", type=float, default=0.1)
     parser.add_argument("--conf_threshold", type=float, default=0.2)
@@ -95,7 +99,8 @@ def main(argv=None):
         merge_overlap=args.merge_overlap_threshold)
 
     staining_dir = GlomusHandler.get_staining_type(args.data_category)
-    json_dir = args.json_dir or os.path.join(args.output_dir, "json")
+    json_dir = (None if args.no_json
+                else args.json_dir or os.path.join(args.output_dir, "json"))
     completed = FusedEndToEnd.prepare_output(
         args.output_dir, args.data_category, resume=args.resume)
     for entry in read_target_list(args.target_list):
