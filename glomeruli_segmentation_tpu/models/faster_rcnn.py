@@ -18,18 +18,13 @@ boxes, scores, 1-based float classes, and ``num_detections``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.boxes import (
-    clip_boxes,
-    decode_boxes,
-    encode_boxes,
-    generate_anchors,
-)
+from ..ops.boxes import clip_boxes, decode_boxes, generate_anchors
 from ..ops.nms import gather_padded, nms
 from ..ops.roi_align import crop_and_resize_matmul
 from .resnet import ResNetBlock4, ResNetC4, TinyBackbone, TinyHead

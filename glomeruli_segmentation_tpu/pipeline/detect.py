@@ -18,7 +18,7 @@ import datetime
 import math
 import os
 import time
-from typing import Callable, Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ import ast
 import csv
 import glob
 import os
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -150,8 +150,7 @@ def run_segformer_test(args) -> None:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], bs - len(idxs), axis=0)])
             batch_logits = forward(jax.device_put(batch))
-            yield_items = zip(idxs, items)
-            for pos, (idx, item) in enumerate(yield_items):
+            for pos, (idx, item) in enumerate(zip(idxs, items)):
                 image_file = test_ds.images[idx]
                 specimen_id = image_file.split("/")[-2]
                 file_name = image_file.split("/")[-1]
