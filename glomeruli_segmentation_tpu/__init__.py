@@ -22,3 +22,34 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_compilation_cache() -> None:
+    """Point JAX at a persistent compilation cache unless the user already
+    did.  TPU programs here compile through a remote AOT service where the
+    big pipeline programs take minutes; without an on-disk cache every CLI
+    process would pay that cost again.  Respects
+    ``JAX_COMPILATION_CACHE_DIR`` and an explicitly-set config value;
+    opt out with ``GSEG_NO_COMPILE_CACHE=1``."""
+    import os
+
+    if os.environ.get("GSEG_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # jax reads this itself
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "glomeruli_segmentation_tpu", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:  # never block import on cache setup
+        pass
+
+
+_configure_compilation_cache()
