@@ -1,0 +1,91 @@
+"""CLI: precompile the production programs into the persistent cache.
+
+TPU compiles here go through a remote AOT service where the pipeline's
+big programs cost minutes each; the package points JAX at a persistent
+on-disk cache (``__init__._configure_compilation_cache``), so warming it
+once per machine/model makes every later ``gseg-*`` run start at full
+speed.  The reference has no analogue (its TF1 session warms per process).
+
+Programs warmed:
+
+- the 5-fold ESPNet ensemble forward + the /8 stitch-gather variant at
+  each crop bucket (multiples of 256, same bucketing as
+  ``FusedSlideSegmenter.segment_slide``);
+- the detector at each window geometry (native ``detector.ckpt.pth`` or
+  the reference's ``frozen_inference_graph.pb``), when ``--model`` is
+  given.
+"""
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="precompile pipeline programs into the JAX cache")
+    parser.add_argument("--segmentation_weights_dir", type=str, default=None,
+                        help="directory holding espnet_fold{1..5}.pth")
+    parser.add_argument("--folds", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    parser.add_argument("--seg_batch_size", type=int, default=32)
+    parser.add_argument("--engine", default="xla", choices=["xla", "fused"])
+    parser.add_argument("--buckets", type=int, nargs="*", default=[512],
+                        help="crop bucket sizes (multiples of 256) to warm")
+    parser.add_argument("--model", type=str, default=None,
+                        help="detector model dir (optional)")
+    parser.add_argument("--model_name", default="frozen_inference_graph.pb")
+    parser.add_argument("--window_sizes", type=int, nargs="*", default=[1024],
+                        help="detection window pixel sizes to warm")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="detection window batch size")
+    parser.add_argument("--device_resize", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+
+    did = []
+    if args.segmentation_weights_dir:
+        from ..ops.preprocess import postprocess_nearest_host  # noqa: F401
+        from ..pipeline.fused import EnsembleConfig, EnsembleSegmenter
+
+        ckpts = [os.path.join(args.segmentation_weights_dir,
+                              f"espnet_fold{k}.pth") for k in args.folds]
+        ens = EnsembleSegmenter(
+            EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
+                           batch_size=args.seg_batch_size),
+            engine=args.engine)
+        bs = args.seg_batch_size
+        for bucket in args.buckets:
+            padded = np.zeros((bs, bucket, bucket, 3), np.uint8)
+            hs = np.full(bs, bucket - 62, np.int32)
+            print(f"warming ensemble bucket {bucket} (full-res path)...",
+                  flush=True)
+            ens.segment_batch_padded(padded, hs, hs)
+            print(f"warming ensemble bucket {bucket} (/8 gather path)...",
+                  flush=True)
+            ys = np.zeros((bs, bucket // 8), np.int32)
+            xs = np.zeros((bs, bucket // 8), np.int32)
+            ens.segment_batch_gather(padded, hs, hs, ys, xs)
+            did.append(f"ensemble@{bucket}")
+
+    if args.model:
+        from .detect import load_backend
+
+        backend = load_backend(args.model, args.model_name, args.batch_size,
+                               od_api_overrides={
+                                   "device_resize": args.device_resize})
+        for wsize in args.window_sizes:
+            print(f"warming detector window {wsize}...", flush=True)
+            windows = np.zeros((args.batch_size, wsize, wsize, 3), np.uint8)
+            backend.detect_batch(windows)
+            did.append(f"detector@{wsize}")
+
+    if not did:
+        raise SystemExit("nothing to warm: pass --segmentation_weights_dir "
+                         "and/or --model")
+    print("warmed:", ", ".join(did))
+
+
+if __name__ == "__main__":
+    main()

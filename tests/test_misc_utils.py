@@ -70,3 +70,11 @@ def test_glomus_handler_patterns():
     assert GlomusHandler.get_staining_type("UNKNOWN") == ""
     with pytest.raises(GlomusHandlerException):
         h.set_type("BAD")
+
+
+def test_warmup_cli(reference_models_dir):
+    """gseg-warmup precompiles the ensemble programs for the given buckets."""
+    from glomeruli_segmentation_tpu.cli.warmup import main
+
+    main(["--segmentation_weights_dir", str(reference_models_dir),
+          "--folds", "1", "--seg_batch_size", "2", "--buckets", "256"])
