@@ -75,12 +75,12 @@ def nms_pallas(boxes: jax.Array, scores: jax.Array, max_outputs: int,
         functools.partial(_nms_kernel, max_outputs=max_outputs),
         out_shape=jax.ShapeDtypeStruct((max_outputs,), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            memory_space=pltpu.ANY if interpret else pltpu.SMEM),
+            memory_space=pl.ANY if interpret else pltpu.SMEM),
         interpret=interpret,
     )(boxes, scores[:, None], jnp.asarray([iou_threshold], boxes.dtype))
     num_valid = jnp.sum(out >= 0).astype(jnp.int32)
