@@ -125,3 +125,27 @@ def test_crop_and_resize_matmul_matches_gather():
     a = np.asarray(crop_and_resize(feat, boxes, 14))
     b = np.asarray(crop_and_resize_matmul(feat, boxes, 14))
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_read_detections_packing_roundtrip():
+    """The packed single-readback must reproduce the four output arrays."""
+    import jax.numpy as jnp
+
+    from glomeruli_segmentation_tpu.pipeline.detect import _read_detections
+
+    rng = np.random.RandomState(3)
+    b, m = 3, 7
+    out = {
+        "detection_boxes": jnp.asarray(rng.rand(b, m, 4).astype(np.float32)),
+        "detection_scores": jnp.asarray(rng.rand(b, m).astype(np.float32)),
+        "detection_classes": jnp.asarray(
+            np.ones((b, m), np.float32) * 2.0),
+        "num_detections": jnp.asarray(
+            rng.randint(0, m, b).astype(np.float32)),
+    }
+    boxes, scores, classes, num = _read_detections(out)
+    np.testing.assert_array_equal(boxes, np.asarray(out["detection_boxes"]))
+    np.testing.assert_array_equal(scores, np.asarray(out["detection_scores"]))
+    np.testing.assert_array_equal(classes,
+                                  np.asarray(out["detection_classes"]))
+    np.testing.assert_array_equal(num, np.asarray(out["num_detections"]))
