@@ -80,9 +80,10 @@ def _two_tap_matrix(q: jax.Array, size: int) -> jax.Array:
             + (grid[None, :] == hi[:, None]) * frac[:, None])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def crop_and_resize_matmul(features: jax.Array, boxes: jax.Array,
-                           crop_size: int, box_chunk: int = 100):
+                           crop_size: int, box_chunk: int = 100,
+                           precision: str = "highest"):
     """TF ``crop_and_resize`` semantics expressed as two MXU matmuls.
 
     Same interface/semantics as :func:`crop_and_resize`.  TPU gathers over
@@ -91,12 +92,14 @@ def crop_and_resize_matmul(features: jax.Array, boxes: jax.Array,
     time); building per-box two-tap interpolation matrices and contracting
     ``(K*S, H) @ (H, W*C)`` then ``(K, S, W) x (K, T, W)`` keeps the crop
     on the systolic array — measured 2.4x faster at the detector's
-    stride-16 shape (B=4, P=300, 64x64x1024).  Under default matmul
-    precision the f32 result differs from the gather path at the bf16
-    truncation level (exact on CPU / at precision 'highest').
+    stride-16 shape (B=4, P=300, 64x64x1024).  The two contractions carry
+    an explicit ``precision`` (default 'highest' = exact vs the gather
+    path) so frozen-graph parity does not depend on the process-global
+    ``jax_default_matmul_precision`` flag.
     """
     h, w, c = features.shape
     s = crop_size
+    prec = jax.lax.Precision(precision) if precision != "default" else None
 
     def one_chunk(bc):
         y1, x1, y2, x2 = bc[:, 0], bc[:, 1], bc[:, 2], bc[:, 3]
@@ -108,9 +111,11 @@ def crop_and_resize_matmul(features: jax.Array, boxes: jax.Array,
         wy = jax.vmap(lambda q: _two_tap_matrix(q, h))(ys)  # (K, S, H)
         wx = jax.vmap(lambda q: _two_tap_matrix(q, w))(xs)  # (K, S, W)
         k = bc.shape[0]
-        rows = (wy.reshape(k * s, h).astype(features.dtype)
-                @ features.reshape(h, w * c)).reshape(k, s, w, c)
-        return jnp.einsum("ktw,kswc->kstc", wx.astype(features.dtype), rows)
+        rows = jnp.matmul(wy.reshape(k * s, h).astype(features.dtype),
+                          features.reshape(h, w * c),
+                          precision=prec).reshape(k, s, w, c)
+        return jnp.einsum("ktw,kswc->kstc", wx.astype(features.dtype), rows,
+                          precision=prec)
 
     n = boxes.shape[0]
     if n <= box_chunk:

@@ -43,8 +43,10 @@ def spatial_shard_forward(mesh: Mesh, fn: Callable, x: jax.Array,
 
     try:
         from jax import shard_map  # jax >= 0.8
+        relax_kwargs = {"check_vma": False}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+        relax_kwargs = {"check_rep": False}  # pre-0.8 kwarg name
 
     def local(x_local):
         # x_local: (N, stripe, W, C) — this device's stripe
@@ -66,7 +68,7 @@ def spatial_shard_forward(mesh: Mesh, fn: Callable, x: jax.Array,
         local, mesh=mesh,
         in_specs=P(None, axis_name, None, None),
         out_specs=P(None, axis_name, None, None),
-        check_vma=False,
+        **relax_kwargs,
     )
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
     out = sharded(x)

@@ -149,17 +149,19 @@ class FusedEndToEnd:
             merged = self.merge_boxes(detections, mpp_x, mpp_y)
             t_detect = time.time() - t0
 
-            # merged CSV artifact (merge_overlaped_glomus.py:102-124
-            # schema).  Appended: a target list holds many slides and the
-            # reference merger emits one CSV for all of them; a fresh run
-            # truncates via prepare_output() before the first slide.
-            csv_path = os.path.join(
-                output_dir, f"{self.data_category}{output_file_ext}.csv")
-            with open(csv_path, "a") as f:
-                for rect in merged:
-                    f.write(",{},\"{}\",{},{},{},{},{}\n".format(
-                        patient_id, file_name, int(rect[0]), int(rect[1]),
-                        int(rect[2]), int(rect[3]), rect[4]))
+            # merged CSV rows (merge_overlaped_glomus.py:102-124 schema).
+            # Buffered here and flushed together with the timing-log row
+            # AFTER segmentation completes, so an interrupt mid-slide
+            # followed by --resume (which skips slides present in the
+            # timing log) never leaves partially-written slides' rows in
+            # the accumulated CSV — rerunning the slide would duplicate
+            # them.  A fresh run truncates via prepare_output() before the
+            # first slide.
+            csv_rows = [
+                ",{},\"{}\",{},{},{},{},{}\n".format(
+                    patient_id, file_name, int(rect[0]), int(rect[1]),
+                    int(rect[2]), int(rect[3]), rect[4])
+                for rect in merged]
 
             on_crop = None
             if json_dir is not None:
@@ -184,8 +186,13 @@ class FusedEndToEnd:
                                                   on_crop=on_crop)
             if write_overlay:
                 self._write_overlay(slide, canvas, output_dir, patient_id)
-        # per-slide timing log, reference contract
-        # (detect_glomus_test.py:110-112,152-158)
+        # Slide complete: flush the buffered merged-CSV rows and the
+        # per-slide timing-log row (detect_glomus_test.py:110-112,152-158)
+        # together, making the slide's public artifacts atomic wrt --resume.
+        csv_path = os.path.join(
+            output_dir, f"{self.data_category}{output_file_ext}.csv")
+        with open(csv_path, "a") as f:
+            f.writelines(csv_rows)
         log_path = os.path.join(
             output_dir, f"{self.data_category}{output_file_ext}_log.csv")
         new = not os.path.isfile(log_path)

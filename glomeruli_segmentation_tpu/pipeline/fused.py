@@ -50,6 +50,10 @@ class EnsembleConfig:
     batch_size: int = 8
     compute_dtype: str = "bfloat16"
     precision: str = "default"
+    # dtype of the fold-probability softmax + accumulator.  f32 by default:
+    # a bf16 accumulator can flip the argmax at near-ties, so the HBM
+    # saving (~250 MB/fold at B=48) is an explicit opt-in ("bfloat16").
+    accum_dtype: str = "float32"
 
 
 class EnsembleSegmenter:
@@ -123,12 +127,13 @@ class EnsembleSegmenter:
                       widths: jax.Array) -> jax.Array:
         """(B, maxH, maxW, 3) uint8 BGR + valid sizes -> (B, H, W) uint8."""
         cfg = self.config
-        # In the bf16 fast path, the resized batch and the fold-probability
-        # accumulator are the forward's dominant HBM traffic (re-read /
-        # read-modify-written once per fold: ~1.1 GB/fold at B=48 in f32).
-        # Keeping both in bf16 halves that; the f32/parity path is exact.
+        # In the bf16 fast path the resized batch is re-read once per fold
+        # (~500 MB/fold at B=48 in f32) — keep it bf16 there.  The softmax/
+        # probability accumulator follows cfg.accum_dtype (f32 default;
+        # bf16 accumulation can flip argmax at near-ties, so it is opt-in).
         fast = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-        acc_dtype = jnp.bfloat16 if fast else jnp.float32
+        acc_dtype = jnp.dtype(cfg.accum_dtype)
+        acc_f32 = acc_dtype == jnp.float32
 
         def resize_one(img, h, w):
             return resize_bilinear_dynamic(img.astype(jnp.float32), h, w,
@@ -146,7 +151,8 @@ class EnsembleSegmenter:
                     logits = self._fused_template.apply_packed(
                         pack["enc"], pack["dec"], x)
                 probs = jax.nn.softmax(
-                    logits if fast else logits.astype(jnp.float32), axis=-1)
+                    logits.astype(jnp.float32) if acc_f32 else logits,
+                    axis=-1)
                 return acc + probs.astype(acc_dtype), None
 
             init = jnp.zeros(resized.shape[:3] + (cfg.classes,), acc_dtype)
@@ -160,7 +166,7 @@ class EnsembleSegmenter:
                 logits = self.model.apply(variables,
                                           x.astype(cfg.compute_dtype))
             probs = jax.nn.softmax(
-                logits if fast else logits.astype(jnp.float32), axis=-1)
+                logits.astype(jnp.float32) if acc_f32 else logits, axis=-1)
             return probs.astype(acc_dtype)
 
         probs = jax.vmap(fold_forward)(self.variables, self.mean, self.std)
