@@ -12,6 +12,7 @@
 // Build: see build.sh next to this file (produces _ndpi_reader.so).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -20,6 +21,7 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <utility>
 #include <vector>
 
 #include <jpeglib.h>
@@ -66,6 +68,31 @@ struct Entry {
   uint8_t inline_value[8];
   uint64_t value_offset;
   bool is_inline;
+};
+
+// Virtual tile grid over a single-strip JPEG level — the real Hamamatsu
+// NDPI layout (RowsPerStrip == ImageLength, restart markers every R MCUs;
+// levels wider than JPEG's 65,500 px limit record 0x0 in the SOF and the
+// true dims live in the TIFF tags).  Mirrors _NdpiStripIndex in
+// ../tiff_reader.py, the tested ground truth; replaces the OpenSlide
+// behavior the reference consumes at detect_glomus_test.py:274.
+struct NdpiIndex {
+  bool ok = false;
+  std::vector<uint8_t> headers;  // SOI .. end of SOS header
+  size_t sof_off = 0;            // offset of FFC0/FFC1 within headers
+  ptrdiff_t dri_off = -1;
+  int mcu_w = 8, mcu_h = 8;
+  uint32_t restart_interval = 0;
+  int64_t tile_w = 0, tile_h = 0, tiles_across = 0, tiles_down = 0;
+  int64_t n_chunks = 0;
+  // strip-relative (start, end) of each chunk's entropy bytes
+  std::vector<std::pair<uint64_t, uint64_t>> spans;
+
+  void tile_pixel_dims(int64_t width, int64_t height, int64_t tx, int64_t ty,
+                       int64_t* w, int64_t* h) const {
+    *w = std::min<int64_t>(tile_w, width - tx * tile_w);
+    *h = std::min<int64_t>(tile_h, height - ty * tile_h);
+  }
 };
 
 size_t type_size(uint16_t t) {
@@ -148,17 +175,62 @@ class Reader {
     return pages_[0].source_lens > -1e8 ? pages_[0].source_lens : 0;
   }
 
+  // Restart-marker virtual-tile index for a single-strip JPEG level;
+  // built once on first touch (call before fanning decode jobs out to
+  // threads), nullptr when the level is not laid out that way.
+  const NdpiIndex* ndpi_index(int level) {
+    std::lock_guard<std::mutex> lock(ndpi_mu_);
+    auto it = ndpi_.find(level);
+    if (it != ndpi_.end()) return it->second->ok ? it->second.get() : nullptr;
+    auto idx = std::make_unique<NdpiIndex>();
+    const Page& p = pages_[level];
+    if (!p.tiled() && p.compression == 7 && p.offsets.size() == 1 &&
+        p.rows_per_strip >= p.height && p.jpeg_tables.size() <= 4) {
+      build_ndpi_index(p, idx.get());
+    }
+    const NdpiIndex* out = idx->ok ? idx.get() : nullptr;
+    ndpi_[level] = std::move(idx);
+    return out;
+  }
+
+  int64_t chunk_decodes() const { return chunk_decodes_.load(); }
+
   // Decode chunk `index` of `level` into an RGB buffer (returned via cache).
   std::shared_ptr<std::vector<uint8_t>> chunk(int level, int64_t index,
                                               int64_t* cw, int64_t* ch) {
     const Page& p = pages_[level];
-    if (p.tiled()) {
+    const NdpiIndex* nd = nullptr;
+    {
+      std::lock_guard<std::mutex> lock(ndpi_mu_);
+      auto it = ndpi_.find(level);
+      if (it != ndpi_.end() && it->second->ok) nd = it->second.get();
+    }
+    if (nd) {
+      int64_t tx = index % nd->tiles_across, ty = index / nd->tiles_across;
+      nd->tile_pixel_dims(p.width, p.height, tx, ty, cw, ch);
+    } else if (p.tiled()) {
       *cw = p.tile_width;
       *ch = p.tile_height;
     } else {
       *cw = p.width;
       int64_t row0 = index * p.rows_per_strip;
       *ch = std::min<int64_t>(p.rows_per_strip, p.height - row0);
+    }
+    if (nd) {
+      {
+        std::lock_guard<std::mutex> lock(cache_mu_);
+        auto it = cache_.find({level, index});
+        if (it != cache_.end()) return it->second;
+      }
+      auto out = decode_ndpi_chunk(p, *nd, index, *cw, *ch);
+      if (!out) return nullptr;
+      chunk_decodes_.fetch_add(1);
+      {
+        std::lock_guard<std::mutex> lock(cache_mu_);
+        if (cache_.size() > 256) cache_.clear();
+        cache_[{level, index}] = out;
+      }
+      return out;
     }
     {
       std::lock_guard<std::mutex> lock(cache_mu_);
@@ -242,6 +314,161 @@ class Reader {
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     return true;
+  }
+
+  bool read_at(uint64_t offset, size_t size, uint8_t* out) {
+    std::lock_guard<std::mutex> lock(file_mu_);
+    if (std::fseek(f_, (long)offset, SEEK_SET) != 0) return false;
+    return std::fread(out, 1, size, f_) == size;
+  }
+
+  // Parse the strip's JPEG headers (SOF -> MCU geometry, DRI -> restart
+  // interval), then scan the entropy stream once for RST markers and
+  // record each chunk's byte span.  See NdpiIndex.
+  void build_ndpi_index(const Page& p, NdpiIndex* idx) {
+    uint64_t base = p.offsets[0];
+    uint64_t size = p.byte_counts[0];
+    // -- headers ------------------------------------------------------
+    std::vector<uint8_t> head(std::min<uint64_t>(size, 1 << 16));
+    if (head.size() < 4 || !read_at(base, head.size(), head.data())) return;
+    if (head[0] != 0xFF || head[1] != 0xD8) return;
+    size_t pos = 2;
+    int64_t sof_off = -1;
+    uint16_t sof_w = 0, sof_h = 0;
+    auto be16 = [&](size_t at) -> uint16_t {
+      return (uint16_t)(head[at] << 8 | head[at + 1]);
+    };
+    while (true) {
+      if (pos + 10 >= head.size()) {
+        size_t grown = std::min<uint64_t>(size, head.size() + (1 << 16));
+        if (grown <= head.size()) return;
+        size_t old = head.size();
+        head.resize(grown);
+        if (!read_at(base + old, grown - old, head.data() + old)) return;
+      }
+      if (head[pos] != 0xFF) return;
+      uint8_t marker = head[pos + 1];
+      if (marker == 0xC0 || marker == 0xC1) {
+        uint16_t seg_len = be16(pos + 2);
+        sof_h = be16(pos + 5);
+        sof_w = be16(pos + 7);
+        int ncomp = head[pos + 9];
+        int hmax = 1, vmax = 1;
+        for (int c = 0; c < ncomp; c++) {
+          uint8_t samp = head[pos + 11 + 3 * c];
+          hmax = std::max(hmax, samp >> 4);
+          vmax = std::max(vmax, samp & 0xF);
+        }
+        idx->mcu_w = 8 * hmax;
+        idx->mcu_h = 8 * vmax;
+        sof_off = (int64_t)pos;
+        pos += 2 + seg_len;
+      } else if (marker == 0xC2) {
+        return;  // progressive: no chunked random access
+      } else if (marker == 0xDD) {
+        idx->dri_off = (ptrdiff_t)pos;
+        idx->restart_interval = be16(pos + 4);
+        pos += 6;
+      } else if (marker == 0xDA) {
+        uint16_t seg_len = be16(pos + 2);
+        pos += 2 + seg_len;
+        idx->headers.assign(head.begin(), head.begin() + pos);
+        break;
+      } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
+        pos += 2;
+      } else {
+        pos += 2 + be16(pos + 2);
+      }
+    }
+    (void)sof_w;
+    (void)sof_h;  // SOF dims of 0 mean "true dims in the TIFF tags"
+    if (sof_off < 0 || idx->restart_interval == 0) return;
+    idx->sof_off = (size_t)sof_off;
+    // -- grid ---------------------------------------------------------
+    int64_t mpr = (p.width + idx->mcu_w - 1) / idx->mcu_w;
+    int64_t mrows = (p.height + idx->mcu_h - 1) / idx->mcu_h;
+    int64_t r = idx->restart_interval;
+    if (r % mpr == 0) {
+      idx->tile_w = p.width;
+      idx->tile_h = (r / mpr) * idx->mcu_h;
+      idx->tiles_across = 1;
+    } else if (mpr % r == 0) {
+      idx->tile_w = r * idx->mcu_w;
+      idx->tile_h = idx->mcu_h;
+      idx->tiles_across = mpr / r;
+    } else {
+      return;
+    }
+    idx->tiles_down = (p.height + idx->tile_h - 1) / idx->tile_h;
+    idx->n_chunks = (mpr * mrows + r - 1) / r;
+    // -- entropy scan (one sequential pass) ---------------------------
+    uint64_t entropy_start = idx->headers.size();
+    uint64_t start = entropy_start, file_pos = entropy_start;
+    const size_t block = 1 << 22;
+    std::vector<uint8_t> buf;
+    uint8_t carry = 0;
+    bool have_carry = false, done = false;
+    while (file_pos < size && !done) {
+      size_t n = (size_t)std::min<uint64_t>(block, size - file_pos);
+      buf.resize((have_carry ? 1 : 0) + n);
+      if (have_carry) buf[0] = carry;
+      if (!read_at(base + file_pos, n, buf.data() + (have_carry ? 1 : 0)))
+        return;
+      uint64_t buf_base = file_pos - (have_carry ? 1 : 0);
+      size_t i = 0;
+      while (i + 1 < buf.size()) {
+        if (buf[i] != 0xFF) {
+          i++;
+          continue;
+        }
+        uint8_t m = buf[i + 1];
+        if (m >= 0xD0 && m <= 0xD7) {
+          idx->spans.emplace_back(start, buf_base + i);
+          start = buf_base + i + 2;
+          i += 2;
+        } else if (m == 0xD9) {
+          idx->spans.emplace_back(start, buf_base + i);
+          done = true;
+          break;
+        } else {
+          i += (m == 0x00 || m == 0xFF) ? 1 : 2;
+        }
+      }
+      if (!done) {
+        have_carry = buf.back() == 0xFF;
+        if (have_carry) carry = 0xFF;
+        file_pos = buf_base + buf.size();
+      }
+    }
+    if (!done) idx->spans.emplace_back(start, size);
+    idx->ok = (int64_t)idx->spans.size() == idx->n_chunks;
+  }
+
+  // Synthesize a standalone JPEG for one chunk (patched SOF dims, DRI=0,
+  // chunk entropy bytes, EOI) and decode it.
+  std::shared_ptr<std::vector<uint8_t>> decode_ndpi_chunk(
+      const Page& p, const NdpiIndex& nd, int64_t index, int64_t cw,
+      int64_t ch) {
+    if (index < 0 || index >= (int64_t)nd.spans.size()) return nullptr;
+    auto [s, e] = nd.spans[index];
+    std::vector<uint8_t> jpeg(nd.headers.size() + (e - s) + 2);
+    std::memcpy(jpeg.data(), nd.headers.data(), nd.headers.size());
+    jpeg[nd.sof_off + 5] = (uint8_t)(ch >> 8);
+    jpeg[nd.sof_off + 6] = (uint8_t)(ch & 0xFF);
+    jpeg[nd.sof_off + 7] = (uint8_t)(cw >> 8);
+    jpeg[nd.sof_off + 8] = (uint8_t)(cw & 0xFF);
+    if (nd.dri_off >= 0) {
+      jpeg[nd.dri_off + 4] = 0;
+      jpeg[nd.dri_off + 5] = 0;
+    }
+    if (!read_at(p.offsets[0] + s, e - s, jpeg.data() + nd.headers.size()))
+      return nullptr;
+    jpeg[jpeg.size() - 2] = 0xFF;
+    jpeg[jpeg.size() - 1] = 0xD9;
+    auto out = std::make_shared<std::vector<uint8_t>>(cw * ch * 3);
+    Page no_tables;  // chunk JPEG is self-contained
+    if (!decode_jpeg(no_tables, jpeg, out->data(), cw, ch)) return nullptr;
+    return out;
   }
 
   bool copy_raw(const Page& p, const std::vector<uint8_t>& data, uint8_t* out,
@@ -402,9 +629,11 @@ class Reader {
   FILE* f_ = nullptr;
   bool little_ = true, big_ = false;
   std::vector<Page> pages_;
-  std::mutex file_mu_, cache_mu_;
+  std::mutex file_mu_, cache_mu_, ndpi_mu_;
   std::map<std::pair<int, int64_t>, std::shared_ptr<std::vector<uint8_t>>>
       cache_;
+  std::map<int, std::unique_ptr<NdpiIndex>> ndpi_;
+  std::atomic<int64_t> chunk_decodes_{0};
 };
 
 }  // namespace
@@ -430,6 +659,12 @@ void gs_level_dimensions(void* handle, int level, int64_t* w, int64_t* h) {
   const Page& p = static_cast<Reader*>(handle)->page(level);
   *w = p.width;
   *h = p.height;
+}
+
+// Total restart-chunk decodes since open (test instrumentation: window
+// reads on single-strip JPEG levels must decode O(window), not O(slide)).
+int64_t gs_chunk_decodes(void* handle) {
+  return static_cast<Reader*>(handle)->chunk_decodes();
 }
 
 double gs_mpp_x(void* handle) { return static_cast<Reader*>(handle)->mpp(true); }
@@ -461,11 +696,21 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
     int64_t index, tx, ty;
   };
   std::vector<Job> jobs;
-  if (p.tiled()) {
-    int64_t tw = p.tile_width, th = p.tile_height;
-    int64_t across = (p.width + tw - 1) / tw;
-    for (int64_t ty = iy0 / th; ty <= (iy1 - 1) / th; ty++)
-      for (int64_t tx = ix0 / tw; tx <= (ix1 - 1) / tw; tx++)
+  // build (once) the restart-marker virtual-tile index on this thread
+  // before fanning decode jobs out
+  const NdpiIndex* nd = p.tiled() ? nullptr : r->ndpi_index(level);
+  int64_t grid_tw = 0, grid_th = 0;
+  if (nd) {
+    grid_tw = nd->tile_w;
+    grid_th = nd->tile_h;
+  } else if (p.tiled()) {
+    grid_tw = p.tile_width;
+    grid_th = p.tile_height;
+  }
+  if (grid_tw > 0) {
+    int64_t across = nd ? nd->tiles_across : (p.width + grid_tw - 1) / grid_tw;
+    for (int64_t ty = iy0 / grid_th; ty <= (iy1 - 1) / grid_th; ty++)
+      for (int64_t tx = ix0 / grid_tw; tx <= (ix1 - 1) / grid_tw; tx++)
         jobs.push_back({ty * across + tx, tx, ty});
   } else {
     for (int64_t s = iy0 / p.rows_per_strip; s <= (iy1 - 1) / p.rows_per_strip;
@@ -485,9 +730,8 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
         failed = true;
         return;
       }
-      int64_t ox = p.tiled() ? job.tx * p.tile_width : 0;
-      int64_t oy = p.tiled() ? job.ty * p.tile_height
-                             : job.ty * p.rows_per_strip;
+      int64_t ox = grid_tw > 0 ? job.tx * grid_tw : 0;
+      int64_t oy = grid_tw > 0 ? job.ty * grid_th : job.ty * p.rows_per_strip;
       int64_t sx0 = std::max(ix0, ox), sy0 = std::max(iy0, oy);
       int64_t sx1 = std::min(ix1, ox + cw), sy1 = std::min(iy1, oy + chh);
       for (int64_t y = sy0; y < sy1; y++) {

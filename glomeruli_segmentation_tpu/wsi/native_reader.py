@@ -32,6 +32,8 @@ def _load_lib():
             fn = getattr(lib, name)
             fn.restype = ctypes.c_double
             fn.argtypes = [ctypes.c_void_p]
+        lib.gs_chunk_decodes.restype = ctypes.c_int64
+        lib.gs_chunk_decodes.argtypes = [ctypes.c_void_p]
         lib.gs_read_region.restype = ctypes.c_int
         lib.gs_read_region.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
@@ -100,6 +102,11 @@ class NativeSlide:
             props[f"openslide.level[{i}].downsample"] = str(
                 self.level_downsamples[i])
         return props
+
+    @property
+    def chunk_decodes(self) -> int:
+        """Restart-chunk decodes since open (single-strip JPEG levels)."""
+        return self._lib.gs_chunk_decodes(self._handle)
 
     def read_region_array(self, location, level, size) -> np.ndarray:
         x, y = location

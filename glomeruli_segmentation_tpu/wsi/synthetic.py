@@ -194,3 +194,189 @@ def write_pyramidal_tiff(
         struct.pack_into("<I", buf, end, ifd_offsets[i + 1])
     with open(path, "wb") as f:
         f.write(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# Real-NDPI layout emulation: one JPEG strip per level with restart markers
+# ---------------------------------------------------------------------------
+
+_MCU = 16  # 4:2:0 subsampling -> 16x16 MCUs (enforced at encode time)
+
+
+def _jpeg_split(data: bytes):
+    """Split an encoded JPEG into (headers through SOS, entropy bytes)."""
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    while True:
+        assert data[pos] == 0xFF, data[pos]
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS
+            (seg_len,) = struct.unpack(">H", data[pos + 2: pos + 4])
+            head_end = pos + 2 + seg_len
+            entropy = data[head_end:]
+            if entropy.endswith(b"\xff\xd9"):
+                entropy = entropy[:-2]
+            return data[:head_end], entropy
+        (seg_len,) = struct.unpack(">H", data[pos + 2: pos + 4])
+        pos += 2 + seg_len
+
+
+def _encode_chunk(img: np.ndarray, quality: int) -> bytes:
+    import cv2
+
+    params = [cv2.IMWRITE_JPEG_QUALITY, quality]
+    samp = getattr(cv2, "IMWRITE_JPEG_SAMPLING_FACTOR", None)
+    if samp is not None:
+        params += [samp, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420]
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], params)
+    assert ok
+    return enc.tobytes()
+
+
+def encode_ndpi_strip(img: np.ndarray, rows_per_chunk: int = 1,
+                      chunk_mcus_w: int = 0, quality: int = 90,
+                      zero_sof_dims: bool = False) -> bytes:
+    """Encode ``img`` as ONE JPEG stream in the Hamamatsu NDPI layout: a
+    restart marker every ``R`` MCUs so readers can decode chunks randomly.
+
+    ``chunk_mcus_w == 0``: a chunk is ``rows_per_chunk`` full MCU rows
+    (R = MCUs-per-row x rows_per_chunk — the layout of normal levels).
+    ``chunk_mcus_w > 0``: a chunk is a horizontal segment of one MCU row
+    (R = chunk_mcus_w; must divide the MCUs-per-row) — the layout NDPI
+    uses for levels wider than JPEG's 65,500 px limit, whose SOF then
+    records 0x0 dims (``zero_sof_dims``; true dims live in the TIFF tags).
+
+    Chunks are encoded independently with identical tables/sampling and
+    their entropy segments joined with renumbered RST markers — valid
+    because DC predictors reset at restart boundaries.
+    """
+    h, w = img.shape[:2]
+    mpr = -(-w // _MCU)
+    if chunk_mcus_w:
+        assert mpr % chunk_mcus_w == 0, (mpr, chunk_mcus_w)
+        restart = chunk_mcus_w
+        chunk_imgs = []
+        for y0 in range(0, h, _MCU):
+            for x0 in range(0, w, chunk_mcus_w * _MCU):
+                chunk_imgs.append(
+                    img[y0: y0 + _MCU, x0: x0 + chunk_mcus_w * _MCU])
+    else:
+        restart = mpr * rows_per_chunk
+        chunk_imgs = [img[y0: y0 + rows_per_chunk * _MCU]
+                      for y0 in range(0, h, rows_per_chunk * _MCU)]
+
+    encoded = [_jpeg_split(_encode_chunk(c, quality)) for c in chunk_imgs]
+    headers = bytearray(encoded[0][0])
+    # locate SOF (FFC0/FFC1) and patch dims; insert DRI before SOS
+    pos = 2
+    sof_off = -1
+    while True:
+        marker = headers[pos + 1]
+        (seg_len,) = struct.unpack(">H", headers[pos + 2: pos + 4])
+        if marker in (0xC0, 0xC1):
+            sof_off = pos
+        if marker == 0xDA:
+            sos_off = pos
+            break
+        pos += 2 + seg_len
+    assert sof_off >= 0
+    struct.pack_into(">HH", headers, sof_off + 5,
+                     0 if zero_sof_dims else h, 0 if zero_sof_dims else w)
+    dri = struct.pack(">HHH", 0xFFDD, 4, restart)
+    out = bytearray(headers[:sos_off]) + dri + headers[sos_off:]
+    for i, (_, entropy) in enumerate(encoded):
+        if i:
+            out += struct.pack(">H", 0xFFD0 + ((i - 1) % 8))
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def write_ndpi_like_tiff(
+    path: str,
+    base_image: np.ndarray,
+    mpp: float = 0.228,
+    objective_power: float = 40.0,
+    levels: int = 1,
+    rows_per_chunk: int = 1,
+    chunk_mcus_w: int = 0,
+    jpeg_quality: int = 90,
+    zero_sof_dims: bool = False,
+) -> None:
+    """Write a classic TIFF in the real Hamamatsu NDPI layout: each level
+    is ONE JPEG strip (RowsPerStrip = ImageLength) with restart markers
+    (VERDICT/OpenSlide: the format ``openslide.read_region`` consumes at
+    detect_glomus_test.py:274).  Options mirror the quirks the readers
+    must handle; see :func:`encode_ndpi_strip`.
+    """
+    h, w = base_image.shape[:2]
+    images = [base_image]
+    for _ in range(levels - 1):
+        images.append(_downsample2(images[-1]))
+
+    den = 1_000_000
+    num = int(round(10000.0 / mpp * den))
+    while num >= 2**32:
+        den //= 10
+        num = int(round(10000.0 / mpp * den))
+
+    chunks: List[bytes] = []
+    header = struct.pack("<2sHI", b"II", 42, 0)
+    pos = len(header)
+
+    def alloc(data: bytes) -> int:
+        nonlocal pos
+        if pos % 2:
+            chunks.append(b"\0")
+            pos += 1
+        off = pos
+        chunks.append(data)
+        pos += len(data)
+        return off
+
+    ifd_offsets: List[int] = []
+    ifd_blobs: List[bytes] = []
+    for img in images:
+        lh, lw = img.shape[:2]
+        strip = encode_ndpi_strip(
+            img, rows_per_chunk=rows_per_chunk, chunk_mcus_w=chunk_mcus_w,
+            quality=jpeg_quality, zero_sof_dims=zero_sof_dims)
+        strip_off = alloc(strip)
+
+        b = _IfdBuilder()
+        b.add(256, _TYPE_LONG, [lw])
+        b.add(257, _TYPE_LONG, [lh])
+        b.add(258, _TYPE_SHORT, [8, 8, 8])
+        b.add(259, _TYPE_SHORT, [7])
+        b.add(262, _TYPE_SHORT, [6])
+        b.add(273, _TYPE_LONG, [strip_off])
+        b.add(277, _TYPE_SHORT, [3])
+        b.add(278, _TYPE_LONG, [lh])  # RowsPerStrip == ImageLength
+        b.add(279, _TYPE_LONG, [len(strip)])
+        b.add(282, _TYPE_RATIONAL, [(num, den)])
+        b.add(283, _TYPE_RATIONAL, [(num, den)])
+        b.add(296, _TYPE_SHORT, [3])
+        b.add(65421, _TYPE_FLOAT, [objective_power])
+
+        entries = sorted(b.entries)
+        ifd = struct.pack("<H", len(entries))
+        body = b""
+        for tag, typ, cnt, payload in entries:
+            if len(payload) <= 4:
+                body += struct.pack("<HHI", tag, typ, cnt) + payload.ljust(
+                    4, b"\0")
+            else:
+                off = alloc(payload)
+                body += struct.pack("<HHII", tag, typ, cnt, off)
+        ifd += body + struct.pack("<I", 0)
+        ifd_offsets.append(alloc(ifd))
+        ifd_blobs.append(ifd)
+
+    payload = b"".join(chunks)
+    buf = bytearray(header + payload)
+    struct.pack_into("<I", buf, 4, ifd_offsets[0])
+    for i in range(len(ifd_offsets) - 1):
+        end = ifd_offsets[i] + len(ifd_blobs[i]) - 4
+        struct.pack_into("<I", buf, end, ifd_offsets[i + 1])
+    with open(path, "wb") as f:
+        f.write(bytes(buf))

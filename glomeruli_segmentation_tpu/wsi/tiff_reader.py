@@ -204,6 +204,180 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return np.asarray(img.convert("RGB"))
 
 
+class _NdpiStripIndex:
+    """Virtual tile grid over a single-strip JPEG level (real-NDPI layout).
+
+    Hamamatsu NDPI stores each pyramid level as ONE JPEG strip
+    (RowsPerStrip == ImageLength) with restart markers, consumed by the
+    reference through ``openslide.read_region``
+    (module/faster-rcnn/detect_glomus_test.py:274,
+    module/espnet/test/eval_wsi_segmentation.py:351-357).  Decoding the
+    whole strip per read would touch the entire multi-gigapixel level, so
+    this index restores random access:
+
+    - parse the JPEG headers once: SOF dims + sampling factors give the
+      MCU geometry, DRI gives the restart interval R (in MCUs);
+    - scan the entropy stream once for RST markers and cache each
+      restart-chunk's byte span (every chunk starts with fresh DC
+      predictors, so it decodes independently);
+    - map chunks onto a virtual tile grid: R == MCUs-per-row makes a
+      chunk one full MCU row; R < MCUs-per-row (the layout Hamamatsu
+      uses for levels wider than JPEG's 65,500 px limit, whose SOF
+      records 0x0 dims) makes it a horizontal segment of a row;
+    - a ``read_region`` decodes only the touched chunks, each via a
+      synthesized mini-JPEG: original headers with the SOF patched to
+      the chunk's pixel dims and DRI zeroed, the chunk's entropy bytes,
+      EOI.
+
+    Cost per window is O(window area), independent of slide height —
+    matching OpenSlide's NDPI behavior the reference relies on.
+    """
+
+    def __init__(self, data_reader, strip_offset: int, strip_size: int,
+                 page_width: int, page_height: int):
+        # data_reader(offset, size) -> bytes within the strip
+        self._read = data_reader
+        self._base = strip_offset
+        self._size = strip_size
+        self.ok = False
+        self.width = page_width
+        self.height = page_height
+        try:
+            self._parse_headers()
+            self._build_grid()
+            self._scan_markers()
+            self.ok = (len(self.chunk_spans) == self.n_chunks)
+        except Exception:
+            self.ok = False
+
+    # -- header parse ---------------------------------------------------
+    def _parse_headers(self):
+        head = self._read(self._base, min(1 << 16, self._size))
+        if head[:2] != b"\xff\xd8":
+            raise TiffParseError("not a JPEG strip")
+        pos = 2
+        self.sof_off = -1
+        self.dri_off = -1
+        self.restart_interval = 0
+        sof_w = sof_h = 0
+        while True:
+            if pos + 4 > len(head):
+                head += self._read(self._base + len(head),
+                                   min(1 << 16, self._size - len(head)))
+            if head[pos] != 0xFF:
+                raise TiffParseError("bad marker sync")
+            marker = head[pos + 1]
+            if marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
+                (seg_len, _prec, sof_h, sof_w) = struct.unpack(
+                    ">HBHH", head[pos + 2: pos + 9])
+                ncomp = head[pos + 9]
+                hmax = vmax = 1
+                for c in range(ncomp):
+                    samp = head[pos + 11 + 3 * c]
+                    hmax = max(hmax, samp >> 4)
+                    vmax = max(vmax, samp & 0xF)
+                self.mcu_w, self.mcu_h = 8 * hmax, 8 * vmax
+                self.sof_off = pos
+                pos += 2 + seg_len
+            elif marker == 0xC2:  # progressive: no chunked random access
+                raise TiffParseError("progressive JPEG strip")
+            elif marker == 0xDD:  # DRI
+                self.dri_off = pos
+                self.restart_interval = struct.unpack(
+                    ">H", head[pos + 4: pos + 6])[0]
+                pos += 6
+            elif marker == 0xDA:  # SOS: entropy data follows
+                (seg_len,) = struct.unpack(">H", head[pos + 2: pos + 4])
+                pos += 2 + seg_len
+                self.headers = bytes(head[:pos])
+                self.entropy_start = pos
+                return
+            elif marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+            else:
+                (seg_len,) = struct.unpack(">H", head[pos + 2: pos + 4])
+                pos += 2 + seg_len
+        # unreachable
+        raise TiffParseError("no SOS marker")
+
+    def _build_grid(self):
+        # SOF dims of 0 mean "wider/taller than 65,500 px — true dims live
+        # in the TIFF tags" (the NDPI giant-level trick)
+        if self.sof_off < 0 or self.restart_interval <= 0:
+            raise TiffParseError("no SOF/DRI")
+        mpr = -(-self.width // self.mcu_w)   # MCUs per row
+        mrows = -(-self.height // self.mcu_h)
+        r = self.restart_interval
+        if r % mpr == 0:
+            self.tile_w = self.width
+            self.tile_h = (r // mpr) * self.mcu_h
+            self.tiles_across = 1
+        elif mpr % r == 0:
+            self.tile_w = r * self.mcu_w
+            self.tile_h = self.mcu_h
+            self.tiles_across = mpr // r
+        else:
+            raise TiffParseError(
+                f"restart interval {r} does not tile {mpr} MCUs/row")
+        self.tiles_down = -(-self.height // self.tile_h)
+        self.n_chunks = -(-(mpr * mrows) // r)
+
+    def _scan_markers(self):
+        """One sequential pass over the entropy stream; chunk_spans[j] =
+        (start, end) byte offsets (strip-relative) of chunk j's entropy
+        bytes (end excludes the following RST marker)."""
+        spans = []
+        start = self.entropy_start
+        pos = self.entropy_start
+        block = 1 << 22
+        carry = b""
+        file_pos = pos
+        while file_pos < self._size:
+            data = carry + self._read(self._base + file_pos,
+                                      min(block, self._size - file_pos))
+            base = file_pos - len(carry)
+            i = 0
+            limit = len(data) - 1
+            while True:
+                i = data.find(b"\xff", i)
+                if i < 0 or i >= limit:
+                    break
+                m = data[i + 1]
+                if 0xD0 <= m <= 0xD7:
+                    spans.append((start, base + i))
+                    start = base + i + 2
+                    i += 2
+                elif m == 0xD9:  # EOI
+                    spans.append((start, base + i))
+                    self.chunk_spans = spans
+                    return
+                else:
+                    i += 1 if m == 0x00 or m == 0xFF else 2
+            carry = data[-1:]
+            file_pos = base + len(data)
+        # no EOI: treat end of strip as final chunk end
+        spans.append((start, self._size))
+        self.chunk_spans = spans
+
+    # -- chunk decode ---------------------------------------------------
+    def tile_pixel_dims(self, tx: int, ty: int) -> Tuple[int, int]:
+        w = min(self.tile_w, self.width - tx * self.tile_w)
+        h = min(self.tile_h, self.height - ty * self.tile_h)
+        return w, h
+
+    def chunk_jpeg(self, index: int) -> bytes:
+        """Synthesize a standalone JPEG for chunk ``index``."""
+        ty, tx = divmod(index, self.tiles_across)
+        w, h = self.tile_pixel_dims(tx, ty)
+        head = bytearray(self.headers)
+        struct.pack_into(">HH", head, self.sof_off + 5, h, w)
+        if self.dri_off >= 0:
+            struct.pack_into(">H", head, self.dri_off + 4, 0)
+        s, e = self.chunk_spans[index]
+        body = self._read(self._base + s, e - s)
+        return bytes(head) + body + b"\xff\xd9"
+
+
 class Slide:
     """Pyramidal whole-slide image with openslide-like access."""
 
@@ -225,6 +399,10 @@ class Slide:
                        < 0.05]
         self._tile_cache: Dict[Tuple[int, int], np.ndarray] = {}
         self._tile_cache_size = tile_cache_size
+        # level -> _NdpiStripIndex | None; built lazily on first touch of a
+        # single-strip JPEG level (real-NDPI layout)
+        self._ndpi_indices: Dict[int, Optional[_NdpiStripIndex]] = {}
+        self.chunk_decodes = 0  # instrumentation (tests assert O(window))
         self.properties = self._build_properties()
 
     # ---------------- openslide-compatible surface ----------------
@@ -284,6 +462,44 @@ class Slide:
         return props
 
     # ---------------- pixel access ----------------
+    def _ndpi_index(self, level: int) -> Optional[_NdpiStripIndex]:
+        """Build (once) the restart-marker virtual-tile index for a
+        single-strip JPEG level; None when the level is not laid out that
+        way (tiled, multi-strip, non-JPEG or unparseable)."""
+        if level in self._ndpi_indices:
+            return self._ndpi_indices[level]
+        page = self._pages[level]
+        idx = None
+        if (not page.tiled and page.compression == 7
+                and len(page.offsets) == 1
+                and page.rows_per_strip >= page.height
+                and not page.jpeg_tables):
+
+            def read_at(offset, size):
+                self._f.seek(offset)
+                return self._f.read(size)
+
+            built = _NdpiStripIndex(read_at, page.offsets[0],
+                                    page.byte_counts[0], page.width,
+                                    page.height)
+            if built.ok:
+                idx = built
+        self._ndpi_indices[level] = idx
+        return idx
+
+    def _read_ndpi_tile(self, level: int, idx: _NdpiStripIndex,
+                        index: int) -> np.ndarray:
+        key = (level, index)
+        cached = self._tile_cache.get(key)
+        if cached is not None:
+            return cached
+        arr = _decode_jpeg(idx.chunk_jpeg(index))
+        self.chunk_decodes += 1
+        if len(self._tile_cache) >= self._tile_cache_size:
+            self._tile_cache.pop(next(iter(self._tile_cache)))
+        self._tile_cache[key] = arr
+        return arr
+
     def _read_chunk(self, level: int, index: int) -> np.ndarray:
         key = (level, index)
         cached = self._tile_cache.get(key)
@@ -343,12 +559,21 @@ class Slide:
         if ix1 <= ix0 or iy1 <= iy0:
             return out
 
-        if page.tiled:
-            tw, th = page.tile_width, page.tile_height
-            tiles_across = math.ceil(page.width / tw)
+        ndpi = None if page.tiled else self._ndpi_index(level)
+        if page.tiled or ndpi is not None:
+            if ndpi is not None:
+                tw, th, tiles_across = (ndpi.tile_w, ndpi.tile_h,
+                                        ndpi.tiles_across)
+            else:
+                tw, th = page.tile_width, page.tile_height
+                tiles_across = math.ceil(page.width / tw)
             for ty in range(iy0 // th, (iy1 - 1) // th + 1):
                 for tx in range(ix0 // tw, (ix1 - 1) // tw + 1):
-                    tile = self._read_chunk(level, ty * tiles_across + tx)
+                    index = ty * tiles_across + tx
+                    if ndpi is not None:
+                        tile = self._read_ndpi_tile(level, ndpi, index)
+                    else:
+                        tile = self._read_chunk(level, index)
                     sx0 = max(ix0, tx * tw)
                     sy0 = max(iy0, ty * th)
                     sx1 = min(ix1, (tx + 1) * tw)
