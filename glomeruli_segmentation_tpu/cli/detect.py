@@ -39,8 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--device_resize", action="store_true",
                         help="fuse the keep-aspect window resize into the "
                              "device program (best on hardware with a fast "
-                             "host->device link; the default host cv2 "
-                             "resize sends fewer bytes)")
+                             "host->device link; the default host resize "
+                             "sends fewer bytes)")
+    parser.add_argument("--cv2_resize", action="store_true",
+                        help="use cv2 half-pixel bilinear for the "
+                             "keep-aspect resize instead of the frozen "
+                             "graph's TF1 scale*i sampling (default: "
+                             "TF1-exact compat)")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard window batches over an N-device mesh "
                              "(0 = single device, -1 = all devices); "
@@ -98,7 +103,8 @@ def main(argv=None):
         od_api_overrides={"min_dimension": args.min_dimension,
                           "max_dimension": args.max_dimension,
                           "max_proposals": args.max_proposals,
-                          "device_resize": args.device_resize},
+                          "device_resize": args.device_resize,
+                          "compat_tf1_resize": not args.cv2_resize},
         data_parallel=args.data_parallel)
     detector = GlomusDetector(args.data_category, args.target_list,
                               args.data_dir, args.output_dir,

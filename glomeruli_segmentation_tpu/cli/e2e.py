@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--device_resize", action="store_true",
                         help="fuse the keep-aspect window resize into the "
                              "device program (frozen-graph backend)")
+    parser.add_argument("--cv2_resize", action="store_true",
+                        help="cv2 half-pixel keep-aspect resize instead of "
+                             "the frozen graph's TF1 scale*i sampling")
     parser.add_argument("--no_overlay", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already in the timing log and "
@@ -75,7 +78,8 @@ def main(argv=None):
         od_api_overrides={"min_dimension": args.min_dimension,
                           "max_dimension": args.max_dimension,
                           "max_proposals": args.max_proposals,
-                          "device_resize": args.device_resize},
+                          "device_resize": args.device_resize,
+                          "compat_tf1_resize": not args.cv2_resize},
         data_parallel=args.data_parallel)
 
     ckpts = [os.path.join(args.segmentation_weights_dir,

@@ -186,20 +186,23 @@ class ODAPIDetectorBackend(DetectorBackend):
     (inception_v2 trunk, BN folded), then jitted once per window geometry.
 
     The graph's internal ``keep_aspect_ratio_resizer`` (min 600 / max 1024)
-    is applied with cv2-style half-pixel bilinear (TF1's resize_bilinear
-    samples at ``scale*i`` — a sub-pixel deviation either way).
-    ``device_resize`` picks where: on host (cv2, default — the 1024-px
-    window shrinks to 600 px before crossing the host->device link, which
-    degrades ~40x once a large program has executed on this tunnel) or
-    fused into the device program (preferable on hardware with a healthy
-    PCIe/ICI path).  Normalized output boxes are aspect-preserving, so
-    they map back to the window unchanged, exactly as the frozen graph's
-    do (detect_glomus_test.py:359-368).
+    uses TF1 ``resize_bilinear`` sampling (``scale*i``, no half-pixel
+    shift) — reproduced exactly by default (``compat_tf1_resize=True``,
+    the CLAUDE.md reference-quirk convention); ``compat_tf1_resize=False``
+    substitutes cv2 half-pixel bilinear instead.  ``device_resize`` picks
+    where the resize runs: on host (default — the 1024-px window shrinks
+    to 600 px before crossing the host->device link, which degrades ~40x
+    once a large program has executed on this tunnel) or fused into the
+    device program (preferable on hardware with a healthy PCIe/ICI path).
+    Normalized output boxes are aspect-preserving, so they map back to
+    the window unchanged, exactly as the frozen graph's do
+    (detect_glomus_test.py:359-368).
     """
 
     def __init__(self, pb_path: Optional[str] = None, batch_size: int = 8,
                  compute_dtype: str = "bfloat16", data_parallel: int = 0,
                  consts=None, device_resize: bool = False,
+                 compat_tf1_resize: bool = True,
                  **config_overrides):
         from ..convert.pb_import import (
             assemble_od_api_params,
@@ -217,6 +220,7 @@ class ODAPIDetectorBackend(DetectorBackend):
         self.compute_dtype = compute_dtype
         self.config_overrides = config_overrides
         self.device_resize = device_resize
+        self.compat_tf1_resize = compat_tf1_resize
         self._compiled = {}
         self.mesh = _make_backend_mesh(data_parallel, batch_size)
 
@@ -245,11 +249,16 @@ class ODAPIDetectorBackend(DetectorBackend):
                     import jax
                     import jax.numpy as jnp
 
-                    from ..ops.resize import resize_bilinear
+                    from ..ops.resize import (
+                        resize_bilinear,
+                        resize_bilinear_tf1,
+                    )
 
+                    op = (resize_bilinear_tf1 if self.compat_tf1_resize
+                          else resize_bilinear)
                     images = jax.vmap(
-                        lambda im: resize_bilinear(
-                            im.astype(jnp.float32), _rh, _rw))(images)
+                        lambda im: op(im.astype(jnp.float32),
+                                      _rh, _rw))(images)
                 return _model.detect(images)
 
             if self.mesh is not None:
@@ -268,11 +277,23 @@ class ODAPIDetectorBackend(DetectorBackend):
 
         (rh, rw), fn = self._get_fn(images.shape[1], images.shape[2])
         if not self.device_resize and (rh, rw) != images.shape[1:3]:
-            import cv2
+            if self.compat_tf1_resize:
+                from ..ops.resize import resize_bilinear_tf1_np
 
-            images = np.stack([
-                cv2.resize(im, (rw, rh), interpolation=cv2.INTER_LINEAR)
-                for im in images])
+                # resize output is float (the graph resizes after to_float);
+                # ship it in the compute dtype so the exactness doesn't
+                # cost 4x transfer bytes on the host->device link
+                import jax.numpy as jnp
+
+                images = np.stack([resize_bilinear_tf1_np(im, rh, rw)
+                                   for im in images]).astype(
+                                       jnp.dtype(self.compute_dtype))
+            else:
+                import cv2
+
+                images = np.stack([
+                    cv2.resize(im, (rw, rh), interpolation=cv2.INTER_LINEAR)
+                    for im in images])
         return fn(jax.device_put(images, _data_sharding(self.mesh)))
 
     def read_detections(self, handle):

@@ -149,3 +149,67 @@ def test_read_detections_packing_roundtrip():
     np.testing.assert_array_equal(classes,
                                   np.asarray(out["detection_classes"]))
     np.testing.assert_array_equal(num, np.asarray(out["num_detections"]))
+
+
+def test_tf1_resize_matches_scale_i_formula():
+    """TF1 resize_bilinear (align_corners=False) samples at src=scale*i —
+    no half-pixel shift.  Checked against a literal double loop; the OD-API
+    frozen graph's keep_aspect_ratio_resizer uses exactly this sampling
+    (compat_tf1_resize, VERDICT r2 item 4)."""
+    from glomeruli_segmentation_tpu.ops.resize import (
+        resize_bilinear,
+        resize_bilinear_tf1,
+        resize_bilinear_tf1_np,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.uniform(0, 255, (7, 11, 3)).astype(np.float32)
+    out_h, out_w = 5, 6
+    want = np.zeros((out_h, out_w, 3), np.float32)
+    sy, sx = 7 / out_h, 11 / out_w
+    for i in range(out_h):
+        for j in range(out_w):
+            y = min(i * sy, 6.0)
+            x = min(j * sx, 10.0)
+            y0, x0 = int(np.floor(y)), int(np.floor(x))
+            y1, x1 = min(y0 + 1, 6), min(x0 + 1, 10)
+            fy, fx = y - y0, x - x0
+            top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+            bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+            want[i, j] = top * (1 - fy) + bot * fy
+
+    got_np = resize_bilinear_tf1_np(img, out_h, out_w)
+    np.testing.assert_allclose(got_np, want, rtol=1e-5, atol=1e-4)
+    got_jit = np.asarray(resize_bilinear_tf1(jnp.asarray(img), out_h, out_w))
+    np.testing.assert_allclose(got_jit, want, rtol=1e-5, atol=1e-4)
+    # and it differs from the half-pixel (cv2) sampling
+    halfpix = np.asarray(resize_bilinear(jnp.asarray(img), out_h, out_w))
+    assert np.abs(halfpix - want).max() > 1.0
+
+
+def test_backend_tf1_resize_host_equals_device():
+    """The compat resize is identical whether applied on host (numpy) or
+    fused into the device program."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_od_api_import import build_od_api_consts
+
+    from glomeruli_segmentation_tpu.pipeline.detect import (
+        ODAPIDetectorBackend,
+    )
+
+    consts, _, _ = build_od_api_consts(seed=5)
+    rng = np.random.RandomState(1)
+    images = rng.randint(0, 255, (2, 128, 160, 3), np.uint8)
+    results = []
+    for device_resize in (False, True):
+        backend = ODAPIDetectorBackend(
+            consts=consts, batch_size=2, compute_dtype="float32",
+            device_resize=device_resize, min_dimension=64, max_dimension=96,
+            pre_nms_top_n=200, max_proposals=20, max_detections=10)
+        results.append(backend.detect_batch(images))
+    for a, b in zip(*results):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
