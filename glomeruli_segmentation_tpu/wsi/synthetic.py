@@ -51,31 +51,39 @@ def pas_like_image(height: int, width: int, seed: int = 0,
                    background=(230, 205, 215),
                    blob_color=(170, 110, 150),
                    inner_color=(140, 80, 120),
-                   radius_frac=(1 / 20, 1 / 10)) -> np.ndarray:
+                   radius_frac=(1 / 20, 1 / 10),
+                   centers: Optional[Sequence[Tuple[int, int, int]]] = None,
+                   ) -> np.ndarray:
     """Generate an RGB image resembling a PAS-stained section with dark
     round 'glomeruli' blobs on a pinkish background.
 
     ``background``/``blob_color``/``inner_color``/``radius_frac`` vary the
     stain tone, contrast and glomerulus size — used to build slide
     *populations* for detector accuracy tests (vs the reference's per-slide
-    recall print, make_seg_data.py:107-111)."""
+    recall print, make_seg_data.py:107-111).  Passing explicit ``centers``
+    ((cx, cy, r) triples) places the blobs deterministically — for
+    clustered-glomeruli and window-straddling test cases."""
     rng = np.random.RandomState(seed)
     img = np.full((height, width, 3), background, np.uint8)
     noise = rng.randint(-12, 12, size=img.shape).astype(np.int16)
     img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
     yy, xx = np.mgrid[:height, :width]
-    centers = []
     r_lo = max(8, int(min(height, width) * radius_frac[0]))
     r_hi = max(r_lo + 1, int(min(height, width) * radius_frac[1]))
-    for _ in range(n_glomeruli):
-        cy = rng.randint(height // 8, height * 7 // 8)
-        cx = rng.randint(width // 8, width * 7 // 8)
-        r = rng.randint(r_lo, r_hi)
+    if centers is None:
+        centers = []
+        for _ in range(n_glomeruli):
+            cy = rng.randint(height // 8, height * 7 // 8)
+            cx = rng.randint(width // 8, width * 7 // 8)
+            r = rng.randint(r_lo, r_hi)
+            centers.append((cx, cy, r))
+    else:
+        centers = [tuple(c) for c in centers]
+    for cx, cy, r in centers:
         mask = ((yy - cy) ** 2 + (xx - cx) ** 2) < r ** 2
         img[mask] = blob_color
         inner = ((yy - cy) ** 2 + (xx - cx) ** 2) < (r // 2) ** 2
         img[inner] = inner_color
-        centers.append((cx, cy, r))
     return img, centers
 
 

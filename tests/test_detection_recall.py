@@ -48,9 +48,30 @@ POPULATION = [
                        blob_color=(175, 118, 155),
                        inner_color=(145, 88, 128),
                        radius_frac=(1 / 18, 1 / 9))),
+    # harder held-out cases (VERDICT r2 item 5):
+    # low contrast + a clustered pair feeding the merge stage
+    ("H16-00006", dict(seed=106, background=(226, 200, 210),
+                       blob_color=(198, 160, 185),
+                       inner_color=(180, 138, 165),
+                       centers=[(500, 400, 90), (700, 430, 85),
+                                (1500, 1100, 100)])),
+    # glomeruli straddling detection-window boundaries (window 256 um /
+    # 0.25 mpp / ds8 = 128 px windows at the scan level -> level-0
+    # boundary at x=1024; centers sit right on it)
+    ("H16-00007", dict(seed=107, background=(230, 205, 215),
+                       blob_color=(170, 110, 150),
+                       inner_color=(140, 80, 120),
+                       centers=[(1024, 500, 95), (1024, 1000, 80),
+                                (1700, 700, 90)])),
+    # low-contrast training example so contrast invariance is learnable
+    # (held-out 00006 is lower-contrast still)
+    ("H16-00008", dict(seed=108, background=(227, 201, 211),
+                       blob_color=(192, 152, 180),
+                       inner_color=(172, 130, 158),
+                       radius_frac=(1 / 20, 1 / 10))),
 ]
-TRAIN = [p for p, _ in POPULATION[:3]]
-TEST = [p for p, _ in POPULATION[3:]]
+TRAIN = [p for p, _ in POPULATION[:3]] + [POPULATION[7][0]]
+TEST = [p for p, _ in POPULATION[3:7]]
 
 
 @pytest.fixture(scope="module")
@@ -100,7 +121,7 @@ def population_tree(tmp_path_factory):
 def test_detection_recall_floor(population_tree, tmp_path):
     root = population_tree
     model_dir = tmp_path / "model"
-    cfg = DetectorTrainConfig(image_size=128, batch_size=2, steps=300,
+    cfg = DetectorTrainConfig(image_size=128, batch_size=2, steps=500,
                               lr=1e-3, max_gt=8, seed=0)
     model_config = FasterRCNNConfig(
         image_size=(128, 128), backbone="tiny",
@@ -141,12 +162,48 @@ def test_detection_recall_floor(population_tree, tmp_path):
     assert len(rows) == len(TEST)
     hits = sum(int(r[2]) for r in rows)
     gts = sum(int(r[3]) for r in rows)
-    dets = sum(int(r[4]) for r in rows)
     recall = hits / gts
-    # hard acceptance bar (calibrated: the 300-step tiny detector reaches
-    # recall 1.0 on this population; 0.75 leaves seed headroom)
-    assert recall >= 0.75, (recall, rows)
-    assert dets <= 12 * gts, "detector drowned the merge stage in FPs"
+
+    # true precision: merged detections with IoU >= 0.05 against any GT
+    # box (XML coords are level-0/8)
+    import re
+
+    def rect_iou(a, b):
+        ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        area = ((a[2] - a[0]) * (a[3] - a[1])
+                + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(area, 1e-9)
+
+    matched = total_dets = 0
+    merged_rows = [l.split(",") for l in
+                   open(merged_csv).read().splitlines() if l.strip()]
+    for patient in TEST:
+        xml = (root / "data" / "02_PAS" / patient / "annotations"
+               / f"OPT_PAS_{patient}_{patient}_pw40_ds8.xml").read_text()
+        gt_boxes = [[int(v) * 8 for v in m]
+                    for m in re.findall(
+                        r"<xmin>(\d+)</xmin><ymin>(\d+)</ymin>"
+                        r"<xmax>(\d+)</xmax><ymax>(\d+)</ymax>", xml)]
+        dets = [[float(r[3]), float(r[4]), float(r[5]), float(r[6])]
+                for r in merged_rows if r[1] == patient]
+        total_dets += len(dets)
+        matched += sum(1 for d in dets
+                       if any(rect_iou(d, g) >= 0.05 for g in gt_boxes))
+    precision = matched / max(total_dets, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    print(f"detection bar: recall={recall:.3f} precision={precision:.3f} "
+          f"f1={f1:.3f} (hits={hits} gts={gts} dets={total_dets})")
+    # hard acceptance bars at the measured operating point minus seed
+    # noise (the 500-step tiny detector measures recall 1.0 / precision
+    # ~0.9+ on this population incl. the low-contrast, clustered and
+    # window-straddling held-out slides); a ~5-10 point regression in
+    # either trips the test (reference recall contract:
+    # make_seg_data.py:107-111)
+    assert recall >= 0.90, (recall, rows)
+    assert precision >= 0.80, (precision, merged_rows)
+    assert f1 >= 0.87, (f1, rows)
     # crops + label PNGs were produced for the TPs
     for patient in TEST:
         crops = os.listdir(tmp_path / "seg_out" / "org_image" / patient)
