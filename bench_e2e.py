@@ -92,11 +92,39 @@ def bench_detection(slide_path: str) -> dict:
     dt = time.perf_counter() - t0
     wx_org, wy_org, x_split, y_split, _, _ = det.calc_window_size()
     n_windows = x_split * y_split
+
+    # breakdown (VERDICT r2 weak 2): how much of the scan is slide read +
+    # host staging vs device detect.  Read-only pass repeats the scan's
+    # window reads; the device rate comes from resident re-detection of
+    # one batch.
+    level = slide.get_best_level_for_downsample(8)
+    wx = int(WINDOW * 8 * 0.23 / 0.23 / 8)
+    t0 = time.perf_counter()
+    for j in range(y_split):
+        for i in range(x_split):
+            np.asarray(slide.read_region_array(
+                (i * wx * 8, j * wx * 8), level, (wx, wx)))
+    t_read = time.perf_counter() - t0
+    batch = np.stack([np.asarray(slide.read_region_array(
+        (k * wx * 8, 0), level, (wx, wx))) for k in range(4)])
+    backend.detect_batch(batch)
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        backend.detect_batch(batch)
+    t_dev = (time.perf_counter() - t0) / iters / 4 * n_windows
+
     return {
         "metric": "detection_scan",
         "windows": n_windows,
         "sec_per_slide": round(dt, 3),
         "windows_per_sec": round(n_windows / dt, 2),
+        "breakdown": {
+            "slide_read_s": round(t_read, 3),
+            "device_detect_s_equiv": round(t_dev, 3),
+            "_note": "serial costs; the scan overlaps read (prefetch "
+                     "thread) with device detect (one-deep pipeline)",
+        },
     }
 
 
@@ -137,12 +165,111 @@ def bench_fused_segmentation(slide_path: str, centers) -> dict:
     t0 = time.perf_counter()
     canvas = fused.segment_slide(slide, detections)
     dt = time.perf_counter() - t0
+
+    # host cv2 pre-resize variant: transfer is O(net input) per crop
+    # instead of O(crop) — the staging lever on this degraded h2d link
+    fused_hr = FusedSlideSegmenter(ensemble, host_resize=True)
+    fused_hr.segment_slide(slide, detections[:8])  # warm the compile
+    t0 = time.perf_counter()
+    fused_hr.segment_slide(slide, detections)
+    dt_hr = time.perf_counter() - t0
+
     return {
         "metric": "fused_5fold_segmentation",
         "crops": len(detections),
         "sec_per_slide": round(dt, 3),
         "crops_per_sec": round(len(detections) / dt, 2),
+        "sec_per_slide_host_resize": round(dt_hr, 3),
+        "crops_per_sec_host_resize": round(len(detections) / dt_hr, 2),
         "canvas_foreground_px": int((canvas > 0).sum()),
+        "breakdown": _fused_breakdown(ensemble, slide, detections),
+    }
+
+
+def _fused_breakdown(ensemble, slide, detections) -> dict:
+    """Per-stage cost of one crop batch (VERDICT r2 weak 1: prove where
+    the staged-vs-device throughput gap lives).  Stages are timed
+    serially — the production path overlaps them — so the sum bounds,
+    not equals, sec/slide."""
+    import time
+
+    import jax
+    import numpy as np
+
+    bs = ensemble.config.batch_size
+    net_h, net_w = ensemble.config.in_height, ensemble.config.in_width
+    boxes = [[int(v) for v in det[:4]] for det in detections[:bs]]
+
+    t0 = time.perf_counter()
+    crops = [slide.read_region_array((x1, y1), 0, (x2 - x1, y2 - y1))
+             [:, :, ::-1] for x1, y1, x2, y2 in boxes]
+    t_read = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    max_h = -(-max(c.shape[0] for c in crops) // 256) * 256
+    max_w = -(-max(c.shape[1] for c in crops) // 256) * 256
+    padded = np.zeros((bs, max_h, max_w, 3), np.uint8)
+    hs = np.zeros(bs, np.int32)
+    ws = np.zeros(bs, np.int32)
+    for i, c in enumerate(crops):
+        padded[i, : c.shape[0], : c.shape[1]] = c
+        hs[i], ws[i] = c.shape[:2]
+    hs[hs == 0], ws[ws == 0] = 1, 1
+    t_pad = time.perf_counter() - t0
+
+    def timed_put(arr):
+        t = time.perf_counter()
+        dev = jax.device_put(arr)
+        jax.block_until_ready(dev)
+        return dev, time.perf_counter() - t
+
+    # warm the exact program first
+    d_p, _ = timed_put(padded)
+    d_h, _ = timed_put(hs)
+    d_w, _ = timed_put(ws)
+    np.asarray(ensemble._forward(d_p, d_h, d_w))
+
+    d_p, t_h2d = timed_put(padded)
+    d_h, t1 = timed_put(hs)
+    d_w, t2 = timed_put(ws)
+    t_h2d += t1 + t2
+    t0 = time.perf_counter()
+    out = ensemble._forward(d_p, d_h, d_w)
+    maps = np.asarray(out)  # forces exec + d2h (CLAUDE.md timing rule)
+    t_exec_d2h = time.perf_counter() - t0
+
+    # host cv2 pre-resize staging cost for the same crops
+    import cv2
+
+    t0 = time.perf_counter()
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(ensemble.config.compute_dtype)
+    resized = np.zeros((bs, net_h, net_w, 3), dtype)
+    for i, c in enumerate(crops):
+        resized[i] = cv2.resize(c.astype(np.float32), (net_w, net_h),
+                                interpolation=cv2.INTER_LINEAR).astype(dtype)
+    t_host_resize = time.perf_counter() - t0
+    d_r, t_h2d_resized = timed_put(resized)
+    np.asarray(ensemble._forward_resized(d_r))  # warm
+    d_r, t_h2d_resized = timed_put(resized)
+    t0 = time.perf_counter()
+    np.asarray(ensemble._forward_resized(d_r))
+    t_exec_d2h_resized = time.perf_counter() - t0
+
+    return {
+        "batch": bs,
+        "bytes_full": int(padded.nbytes),
+        "bytes_resized": int(resized.nbytes),
+        "crop_read_s": round(t_read, 3),
+        "pad_stage_s": round(t_pad, 3),
+        "h2d_full_s": round(t_h2d, 3),
+        "exec_d2h_s": round(t_exec_d2h, 3),
+        "host_resize_s": round(t_host_resize, 3),
+        "h2d_resized_s": round(t_h2d_resized, 3),
+        "exec_d2h_resized_s": round(t_exec_d2h_resized, 3),
+        "_note": "serial stage costs for one batch; production overlaps "
+                 "read/stage with device exec (one-deep pipeline)",
     }
 
 

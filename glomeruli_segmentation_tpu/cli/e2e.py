@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cv2_resize", action="store_true",
                         help="cv2 half-pixel keep-aspect resize instead of "
                              "the frozen graph's TF1 scale*i sampling")
+    parser.add_argument("--host_resize", action="store_true",
+                        help="cv2-resize crops to the ESPNet input on host "
+                             "before transfer (O(net input) bytes per crop "
+                             "instead of O(crop); wins when the "
+                             "host->device link is the bottleneck)")
     parser.add_argument("--no_overlay", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already in the timing log and "
@@ -100,7 +105,8 @@ def main(argv=None):
         backend, ensemble, data_category=args.data_category,
         window_size=args.window_size, overlap_ratio=args.overlap_ratio,
         detect_conf=args.conf_threshold, merge_conf=args.merge_conf_threshold,
-        merge_overlap=args.merge_overlap_threshold)
+        merge_overlap=args.merge_overlap_threshold,
+        host_resize=args.host_resize)
 
     staining_dir = GlomusHandler.get_staining_type(args.data_category)
     json_dir = (None if args.no_json
