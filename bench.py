@@ -53,7 +53,10 @@ def bench_ours() -> float:
             FusedESPNet,
         )
 
-        fused = FusedESPNet(load_espnet_variables(fold1))
+        # batch 128 sits past the measured level-3 kernel crossover
+        # (BASELINE.md round 3): XLA's folded-BN path wins there
+        fused = FusedESPNet(load_espnet_variables(fold1),
+                            fuse_level3=BATCH < 96)
 
         @jax.jit
         def forward(batch):

@@ -50,13 +50,17 @@ class FusedESPNet:
 
     def __init__(self, variables: Dict[str, Any], classes: int = 5,
                  p: int = 2, q: int = 8, interpret: bool = False,
-                 fuse_level2: bool = False):
-        # level-3 (64x128x128) compiles fast and gains 2.8x from the fused
-        # kernel; the level-2 shape (128x256x64, n=12) is pathologically
-        # slow in Mosaic codegen, so it defaults to the XLA path
+                 fuse_level2: bool = False, fuse_level3: bool = True):
+        # level-3 (64x128x128) compiles fast and gains from the fused
+        # kernel at small batch; the level-2 shape (128x256x64, n=12) is
+        # pathologically slow in Mosaic codegen, so it defaults to the XLA
+        # path.  fuse_level3=False runs level-3 on XLA too (folded-BN
+        # affine path) — round-3 probes measured the crossover batch-
+        # dependent, so both are selectable.
         self.classes, self.p, self.q = classes, p, q
         self.interpret = interpret
         self.fuse_level2 = fuse_level2
+        self.fuse_level3 = fuse_level3
         params = variables["params"]
         stats = variables["batch_stats"]
         self.has_decoder = "encoder" in params
@@ -136,6 +140,9 @@ class FusedESPNet:
                 lambda *xs: jnp.stack(xs),
                 *[pack_esp_weights(p[f"level3_{i}"], s[f"level3_{i}"])
                   for i in range(self.q)]),
+            "level3_raw": [self._pack_esp_raw(p[f"level3_{i}"],
+                                              s[f"level3_{i}"])
+                           for i in range(self.q)],
             "b3": self._pack_br(p["b3"], s["b3"]),
             "classifier": jnp.asarray(p["classifier"]["conv"]["kernel"]),
         }
@@ -213,7 +220,12 @@ class FusedESPNet:
         output1_cat = self._br(
             enc["b2"], jnp.concatenate([out, output1_0, inp2], -1))
         output2_0 = self._down(enc["down3"], output1_cat)
-        out = self._esp_chain(enc["level3"], output2_0)
+        if self.fuse_level3:
+            out = self._esp_chain(enc["level3"], output2_0)
+        else:
+            out = output2_0
+            for pack in enc["level3_raw"]:
+                out = self._esp_xla(pack, out)
         output2_cat = self._br(enc["b3"],
                                jnp.concatenate([output2_0, out], -1))
         logits = _conv(output2_cat, enc["classifier"])

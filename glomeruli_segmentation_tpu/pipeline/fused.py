@@ -92,11 +92,16 @@ class EnsembleSegmenter:
         self.model = ESPNet(config.classes, config.p, config.q)
         if engine == "fused":
             # Pallas-fused forward: packs stacked along a fold axis and the
-            # forward scans over folds (one kernel call site total)
+            # forward scans over folds (one kernel call site total).
+            # Level-3 kernel choice is batch-adaptive (round-3 measured
+            # crossover on one v5e chip: Pallas wins at B=48, XLA's
+            # folded-BN path wins at B=128 — BASELINE.md).
             from ..models.espnet_fused import FusedESPNet
 
+            fuse_l3 = config.batch_size < 96
             nets = [FusedESPNet(tree, config.classes, config.p, config.q,
-                                interpret=interpret) for tree in trees]
+                                interpret=interpret, fuse_level3=fuse_l3)
+                    for tree in trees]
             self._fused_template = nets[0]
             self._fused_packs = jax.tree.map(
                 lambda *xs: jnp.stack(xs),

@@ -86,3 +86,24 @@ def test_fused_full_net_matches_flax(reference_models_dir):
     out = np.asarray(fused(jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=1e-2)
     np.testing.assert_array_equal(out.argmax(-1), ref.argmax(-1))
+
+
+def test_fused_full_net_xla_level3_matches_flax(reference_models_dir):
+    """fuse_level3=False (level-3 on XLA with folded BN — the winning
+    path past the measured batch-128 crossover, BASELINE.md r3) keeps
+    argmax parity with the flax reference."""
+    from glomeruli_segmentation_tpu.convert.espnet_import import (
+        load_espnet_variables,
+    )
+    from glomeruli_segmentation_tpu.models.espnet_fused import FusedESPNet
+
+    variables = load_espnet_variables(
+        str(reference_models_dir / "espnet_fold1.pth"))
+    model = ESPNet(5, 2, 8)
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 64, 128, 3).astype(np.float32)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x)))
+    fused = FusedESPNet(variables, interpret=True, fuse_level3=False)
+    out = np.asarray(fused(jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-2)
+    np.testing.assert_array_equal(out.argmax(-1), ref.argmax(-1))
