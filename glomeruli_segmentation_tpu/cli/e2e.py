@@ -42,7 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     # slide populations while bounding pad waste on sparse slides
     parser.add_argument("--seg_batch_size", type=int, default=32)
     parser.add_argument("--model_name", default="frozen_inference_graph.pb")
-    parser.add_argument("--engine", default="xla", choices=["xla", "fused"])
+    parser.add_argument("--engine", default="xla",
+                        choices=["xla", "fused", "packed"],
+                        help="'fused' scans folds through the Pallas ESP "
+                             "kernel; 'packed' runs all folds in one "
+                             "block-diagonal forward (one pass over the "
+                             "latency-bound small-channel segments)")
     parser.add_argument("--precision", default="default",
                         choices=["default", "high", "highest"])
     parser.add_argument("--data_parallel", type=int, default=0,

@@ -90,6 +90,24 @@ class EnsembleSegmenter:
         self.mean = jnp.asarray(means, jnp.float32)  # (F, 3) BGR
         self.std = jnp.asarray(stds, jnp.float32)
         self.model = ESPNet(config.classes, config.p, config.q)
+        if engine == "packed":
+            # Fold-packed ensemble: all folds ride one channel axis with
+            # block-diagonal convs, paying the latency-bound small-channel
+            # segment cost once instead of once per fold (BASELINE.md
+            # "Round-3 device profile": ~60 ms/fold fixed cost).  Level-3
+            # stays per-fold; its kernel choice is batch-adaptive like the
+            # fused engine.
+            from ..models.espnet_packed import PackedEnsembleESPNet
+
+            assert variables is None, \
+                "packed engine builds from checkpoints"
+            self._packed = PackedEnsembleESPNet(
+                trees, np.asarray(means), np.asarray(stds),
+                config.classes, config.p, config.q,
+                level3="pallas" if config.batch_size < 96 else "xla",
+                interpret=interpret, compute_dtype=config.compute_dtype,
+                accum_dtype=config.accum_dtype,
+                precision=config.precision)
         if engine == "fused":
             # Pallas-fused forward: packs stacked along a fold axis and the
             # forward scans over folds (one kernel call site total).
@@ -156,6 +174,10 @@ class EnsembleSegmenter:
 
     def _fold_argmax(self, resized: jax.Array) -> jax.Array:
         cfg = self.config
+        if self.engine == "packed":
+            # packed model normalizes per fold internally and owns the
+            # compute/accumulator dtype policy
+            return self._packed(resized)
         # In the bf16 fast path the resized batch is re-read once per fold
         # (~500 MB/fold at B=48 in f32) — keep it bf16 there.  The softmax/
         # probability accumulator follows cfg.accum_dtype (f32 default;
