@@ -101,10 +101,14 @@ class EnsembleSegmenter:
 
             assert variables is None, \
                 "packed engine builds from checkpoints"
+            # under a mesh, level3 must stay on XLA: a Pallas custom call
+            # does not partition under GSPMD (same restriction as
+            # engine='fused' + data_parallel)
             self._packed = PackedEnsembleESPNet(
                 trees, np.asarray(means), np.asarray(stds),
                 config.classes, config.p, config.q,
-                level3="pallas" if config.batch_size < 96 else "xla",
+                level3="pallas" if (config.batch_size < 96
+                                    and mesh is None) else "xla",
                 interpret=interpret, compute_dtype=config.compute_dtype,
                 accum_dtype=config.accum_dtype,
                 precision=config.precision)
