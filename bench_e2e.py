@@ -146,8 +146,10 @@ def bench_fused_segmentation(slide_path: str, centers) -> dict:
     # batch 48 = all crops in one dispatch: the per-dispatch fixed cost
     # (~32 ms/fold, measured) dominates small batches — 10.1 ms/crop at
     # B=48 vs 20.4 ms/crop at B=16 through all five folds
+    # auto -> the fold-packed block-diagonal engine at this batch size
+    # (measured crossover: packed wins below B~96, BASELINE.md)
     ensemble = EnsembleSegmenter(EnsembleConfig(
-        checkpoints=ckpts, folds=folds, batch_size=N_CROPS), engine="fused")
+        checkpoints=ckpts, folds=folds, batch_size=N_CROPS), engine="auto")
     fused = FusedSlideSegmenter(ensemble)
     slide = open_slide(slide_path)
     rng = np.random.RandomState(0)

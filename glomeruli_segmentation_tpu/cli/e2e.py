@@ -42,12 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     # slide populations while bounding pad waste on sparse slides
     parser.add_argument("--seg_batch_size", type=int, default=32)
     parser.add_argument("--model_name", default="frozen_inference_graph.pb")
-    parser.add_argument("--engine", default="xla",
-                        choices=["xla", "fused", "packed"],
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "xla", "fused", "packed"],
                         help="'fused' scans folds through the Pallas ESP "
                              "kernel; 'packed' runs all folds in one "
                              "block-diagonal forward (one pass over the "
-                             "latency-bound small-channel segments)")
+                             "latency-bound small-channel segments); "
+                             "'auto' (default) picks by the measured "
+                             "batch-size crossover: packed below 96, "
+                             "fold-scan above")
     parser.add_argument("--precision", default="default",
                         choices=["default", "high", "highest"])
     parser.add_argument("--data_parallel", type=int, default=0,

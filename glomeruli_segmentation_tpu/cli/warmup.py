@@ -26,8 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="directory holding espnet_fold{1..5}.pth")
     parser.add_argument("--folds", type=int, nargs="*", default=[1, 2, 3, 4, 5])
     parser.add_argument("--seg_batch_size", type=int, default=32)
-    parser.add_argument("--engine", default="xla",
-                        choices=["xla", "fused", "packed"])
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "xla", "fused", "packed"])
     parser.add_argument("--buckets", type=int, nargs="*", default=[512],
                         help="crop bucket sizes (multiples of 256) to warm")
     parser.add_argument("--model", type=str, default=None,

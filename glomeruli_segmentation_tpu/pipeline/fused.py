@@ -69,8 +69,19 @@ class EnsembleSegmenter:
         """``variables`` optionally injects a pre-stacked (fold-leading)
         variable pytree instead of loading ``config.checkpoints`` — used by
         the driver's multi-chip dryrun where no checkpoints exist (xla
-        engine only)."""
+        engine only).
+
+        ``engine="auto"`` resolves batch-adaptively from the measured
+        round-3 crossover on one v5e chip (BASELINE.md "Fold-packed
+        ensemble"): the packed block-diagonal engine wins below B~96
+        where the small-channel segments are latency-bound; above, the
+        per-fold scan with XLA's folded-BN level-3 wins and the packed
+        form's F^2 block-diagonal FLOPs stop being free."""
         self.config = config
+        if engine == "auto":
+            engine = ("xla" if variables is not None
+                      else "packed" if config.batch_size < 96
+                      else "fused")
         self.engine = engine
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"

@@ -52,6 +52,22 @@ def test_concat_groups_interleaves_per_fold():
     np.testing.assert_array_equal(out[0, 0, 0], [0, 1, 100, 2, 3, 101])
 
 
+def test_auto_engine_resolution(reference_models_dir):
+    """engine='auto' picks the measured batch-size crossover (BASELINE.md
+    'Fold-packed ensemble'): packed below B=96, fold-scan fused above;
+    injected variables (driver dryrun) fall back to the xla fold-vmap."""
+    ckpts = [str(reference_models_dir / f"espnet_fold{k}.pth")
+             for k in (1, 3)]
+    cfg = EnsembleConfig(checkpoints=ckpts, folds=(1, 3), batch_size=8)
+    assert EnsembleSegmenter(cfg, engine="auto").engine == "packed"
+    big = EnsembleConfig(checkpoints=ckpts, folds=(1, 3), batch_size=128)
+    assert EnsembleSegmenter(big, engine="auto").engine == "fused"
+    injected = EnsembleSegmenter(cfg, engine="xla")
+    via_auto = EnsembleSegmenter(cfg, engine="auto",
+                                 variables=injected.variables)
+    assert via_auto.engine == "xla"
+
+
 @pytest.mark.parametrize("level3", ["xla", "pallas"])
 def test_packed_matches_fold_scan_ensemble(reference_models_dir, level3):
     ckpts = [str(reference_models_dir / f"espnet_fold{k}.pth")
