@@ -8,8 +8,7 @@ channel NHWC ops fill at most 1/8 of the TPU's 128-wide lanes — and the
 per-fold scan pays that cost once per fold.
 
 This module packs the F fold networks into ONE network whose channel axis
-carries all folds side by side (group-major layout: packed channel
-``f * C + c`` holds fold ``f``'s channel ``c``):
+carries all folds side by side:
 
 - every conv becomes a single dense conv with a block-diagonal kernel
   (fold f's kernel occupies input block f / output block f; cross-fold
@@ -30,6 +29,20 @@ carries all folds side by side (group-major layout: packed channel
   logits: softmax per fold, sum over folds, argmax — identical to
   :meth:`..pipeline.fused.EnsembleSegmenter._fold_argmax` semantics.
 
+**Channel layout (round-3 measured refinement).**  The reference's ESP
+concat order interleaves branch outputs *within* each fold (group-major:
+packed channel ``f * C + c``).  Materializing that order after every
+block forced a physical relayout of a GB-scale, 128-lane-tiled tensor
+(reshape -> concat -> reshape: ~6 ms extra per call site at B=48 vs a
+plain concat, ~10 call sites).  Tensors therefore stay **part-major**
+physically (plain ``concatenate([d1, add1, ...])``), and the fold-major
+semantic order is restored for free by permuting the *input-channel rows
+of each consumer conv kernel* (and per-channel affine/PReLU parameters)
+once at pack time.  Residual adds stay consistent because every level-2
+tensor shares the same part structure; only the level-3 per-fold split
+pays one physical gather (which the old layout paid anyway as its
+reshape/transpose).
+
 Reference semantics being packed: ``module/espnet/train/Model.py:130-214``
 (ESP units), ``:242-304`` (encoder), ``:306-378`` (decoder); the ensemble
 rule itself is the framework's fused-path design (the reference runs folds
@@ -47,27 +60,31 @@ from .espnet import avg_pool_3x3_s2, upconv2x2
 from .espnet_fused import FusedESPNet, _conv
 
 
-def _block_diag(kernels: Sequence[np.ndarray]) -> jnp.ndarray:
-    """Stack per-fold HWIO kernels into one block-diagonal HWIO kernel."""
+def _block_diag(kernels: Sequence[np.ndarray]) -> np.ndarray:
+    """Stack per-fold HWIO kernels into one block-diagonal HWIO kernel.
+
+    Both axes are in the *semantic* fold-major order (fold f's channel c
+    at packed index ``f * C + c``); input-axis rows are re-permuted per
+    consumer via :func:`_permute_kernel_in` when the producing tensor is
+    part-major."""
     ks = [np.asarray(k, np.float32) for k in kernels]
     kh, kw, cin, cout = ks[0].shape
     out = np.zeros((kh, kw, len(ks) * cin, len(ks) * cout), np.float32)
     for f, k in enumerate(ks):
         out[:, :, f * cin: (f + 1) * cin, f * cout: (f + 1) * cout] = k
-    return jnp.asarray(out)
+    return out
 
 
-def _cat(params: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Group-major packing of per-channel parameter vectors."""
-    return jnp.concatenate([jnp.asarray(p) for p in params])
+def _cat(params: Sequence[np.ndarray]) -> np.ndarray:
+    """Fold-major (semantic) packing of per-channel parameter vectors."""
+    return np.concatenate([np.asarray(p) for p in params])
 
 
 def _concat_groups(parts: Sequence[jax.Array], folds: int) -> jax.Array:
-    """Per-fold channel concat of group-major tensors.
+    """Per-fold channel concat of group-major tensors (fold-major result).
 
-    Each part is (B, H, W, F*c_i) group-major; the result interleaves the
-    parts within each fold's group: fold f's channels become
-    ``[part0_f, part1_f, ...]`` — the reference's per-network concat order.
+    Retained for reference/testing; the production forward keeps tensors
+    part-major and permutes consumer kernels instead (module docstring).
     """
     shaped = [p.reshape(p.shape[:3] + (folds, p.shape[3] // folds))
               for p in parts]
@@ -75,9 +92,49 @@ def _concat_groups(parts: Sequence[jax.Array], folds: int) -> jax.Array:
     return merged.reshape(merged.shape[:3] + (-1,))
 
 
+def _identity_perm(folds: int, per_fold: int) -> np.ndarray:
+    return np.arange(folds * per_fold, dtype=np.int64)
+
+
+def _concat_perm(parts: Sequence[tuple], folds: int) -> np.ndarray:
+    """phys->sem map of ``concatenate([t_0, t_1, ...], -1)``.
+
+    ``parts`` is a list of (perm_phys_to_sem, per_fold_width); the
+    semantic space of the result is fold-major over the concatenated
+    per-fold widths (the reference's per-network concat order)."""
+    total = sum(w for _, w in parts)
+    offsets = np.cumsum([0] + [w for _, w in parts])[:-1]
+    out = []
+    for (perm, w), off in zip(parts, offsets):
+        f, c = perm // w, perm % w
+        out.append(f * total + off + c)
+    return np.concatenate(out)
+
+
+def _pos_of_sem(perm: np.ndarray) -> np.ndarray:
+    """Inverse map: physical position holding each semantic channel."""
+    pos = np.empty_like(perm)
+    pos[perm] = np.arange(perm.size, dtype=perm.dtype)
+    return pos
+
+
+def _permute_kernel_in(kernel: np.ndarray, perm: np.ndarray) -> jnp.ndarray:
+    """Reindex a sem-ordered HWIO kernel's input rows for a part-major
+    producer: physical input row i carries semantic channel perm[i]."""
+    return jnp.asarray(kernel[:, :, perm, :])
+
+
+def _permute_vec(vec: np.ndarray, perm: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(vec)[perm])
+
+
 def _affine_prelu(x, scale, bias, alpha):
     y = x * scale.astype(x.dtype) + bias.astype(x.dtype)
     return jnp.maximum(y, 0) + alpha.astype(x.dtype) * jnp.minimum(y, 0)
+
+
+def _affine(x, scale, bias):
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class PackedEnsembleESPNet:
@@ -131,21 +188,61 @@ class PackedEnsembleESPNet:
         def cat(path_fn, trees=None):
             return _cat([path_fn(t) for t in (trees or encs)])
 
+        # ---- physical channel layouts (phys -> semantic fold-major) ----
+        # x15, conv outputs, pools of x15: identity (fold-major).
+        id3 = _identity_perm(F, 3)
+        c1_out = encs[0]["level1"]["kernel"].shape[-1]  # 16 per fold
+        self.perm95 = _concat_perm([(_identity_perm(F, c1_out), c1_out),
+                                    (id3, 3)], F)  # out0_cat: [out0|inp1]
+
+        def down_widths(pack):
+            # per-fold branch output widths [n1, n, n, n, n] from one
+            # fold's (unpacked) kernels
+            return [np.asarray(b).shape[-1] for b in pack["branches"]]
+
+        w2 = down_widths(encs[0]["down2"])  # [n1, n, n, n, n] = [16,12x4]
+        pf2 = sum(w2)  # 64
+        self.perm320 = _concat_perm(
+            [(_identity_perm(F, w), w) for w in w2], F)
+        w3 = down_widths(encs[0]["down3"])  # [28, 25 x 4]
+        pf3 = sum(w3)  # 128
+        self.perm640 = _concat_perm(
+            [(_identity_perm(F, w), w) for w in w3], F)
+        # out1_cat: [level2_out (perm320) | out1_0 (perm320) | inp2 (id)]
+        self.perm655 = _concat_perm([(self.perm320, pf2),
+                                     (self.perm320, pf2), (id3, 3)], F)
+        self.pos640 = _pos_of_sem(self.perm640)  # level-3 per-fold gather
+        idc = _identity_perm(F, classes)
+        self.perm50 = _concat_perm([(idc, classes), (idc, classes)], F)
+        self.perm120 = _concat_perm([(idc, classes),
+                                     (self.perm95, c1_out + 3)], F)
+
         self.enc = {
-            "level1_k": bd(lambda e: e["level1"]["kernel"]),
-            "level1_scale": cat(lambda e: e["level1"]["scale"]),
-            "level1_bias": cat(lambda e: e["level1"]["bias"]),
-            "level1_alpha": cat(lambda e: e["level1"]["alpha"]),
-            "b1_scale": cat(lambda e: e["b1"]["scale"]),
-            "b1_bias": cat(lambda e: e["b1"]["bias"]),
-            "b1_alpha": cat(lambda e: e["b1"]["alpha"]),
-            "down2": self._pack_down([e["down2"] for e in encs]),
-            "level2": [self._pack_esp([e["level2_raw"][i] for e in encs])
+            "level1_k": jnp.asarray(bd(lambda e: e["level1"]["kernel"])),
+            "level1_scale": jnp.asarray(cat(lambda e: e["level1"]["scale"])),
+            "level1_bias": jnp.asarray(cat(lambda e: e["level1"]["bias"])),
+            "level1_alpha": jnp.asarray(cat(lambda e: e["level1"]["alpha"])),
+            "b1_scale": _permute_vec(cat(lambda e: e["b1"]["scale"]),
+                                     self.perm95),
+            "b1_bias": _permute_vec(cat(lambda e: e["b1"]["bias"]),
+                                    self.perm95),
+            "b1_alpha": _permute_vec(cat(lambda e: e["b1"]["alpha"]),
+                                     self.perm95),
+            "down2": self._pack_down([e["down2"] for e in encs],
+                                     in_perm=self.perm95,
+                                     out_perm=self.perm320),
+            "level2": [self._pack_esp([e["level2_raw"][i] for e in encs],
+                                      perm=self.perm320)
                        for i in range(p)],
-            "b2_scale": cat(lambda e: e["b2"]["scale"]),
-            "b2_bias": cat(lambda e: e["b2"]["bias"]),
-            "b2_alpha": cat(lambda e: e["b2"]["alpha"]),
-            "down3": self._pack_down([e["down3"] for e in encs]),
+            "b2_scale": _permute_vec(cat(lambda e: e["b2"]["scale"]),
+                                     self.perm655),
+            "b2_bias": _permute_vec(cat(lambda e: e["b2"]["bias"]),
+                                    self.perm655),
+            "b2_alpha": _permute_vec(cat(lambda e: e["b2"]["alpha"]),
+                                     self.perm655),
+            "down3": self._pack_down([e["down3"] for e in encs],
+                                     in_perm=self.perm655,
+                                     out_perm=self.perm640),
         }
         # level3 + b3 + classifier stay per-fold: stack fold weights for a
         # lax.scan (dynamic-weight convs keep XLA's dense conv selection —
@@ -163,43 +260,70 @@ class PackedEnsembleESPNet:
         self.cls_scan = jnp.stack([e["classifier"] for e in encs])
 
         self.dec = {
-            "br_scale": cat(lambda d: d["br_scale"], decs),
-            "br_bias": cat(lambda d: d["br_bias"], decs),
-            "up_l3": _block_diag([d["up_l3"] for d in decs]),
-            "level3_C": _block_diag([d["level3_C"] for d in decs]),
-            "comb_br_scale": cat(lambda d: d["comb_br"]["scale"], decs),
-            "comb_br_bias": cat(lambda d: d["comb_br"]["bias"], decs),
-            "comb_br_alpha": cat(lambda d: d["comb_br"]["alpha"], decs),
-            "comb_k": _block_diag([d["comb_cbr"]["kernel"] for d in decs]),
-            "comb_scale": cat(lambda d: d["comb_cbr"]["scale"], decs),
-            "comb_bias": cat(lambda d: d["comb_cbr"]["bias"], decs),
-            "comb_alpha": cat(lambda d: d["comb_cbr"]["alpha"], decs),
-            "up_l2": _block_diag([d["up_l2"] for d in decs]),
-            "up_l2_br_scale": cat(lambda d: d["up_l2_br"]["scale"], decs),
-            "up_l2_br_bias": cat(lambda d: d["up_l2_br"]["bias"], decs),
-            "up_l2_br_alpha": cat(lambda d: d["up_l2_br"]["alpha"], decs),
-            "conv_k": _block_diag([d["conv"]["kernel"] for d in decs]),
-            "conv_scale": cat(lambda d: d["conv"]["scale"], decs),
-            "conv_bias": cat(lambda d: d["conv"]["bias"], decs),
-            "conv_alpha": cat(lambda d: d["conv"]["alpha"], decs),
-            "classifier": _block_diag([d["classifier"] for d in decs]),
+            "br_scale": jnp.asarray(cat(lambda d: d["br_scale"], decs)),
+            "br_bias": jnp.asarray(cat(lambda d: d["br_bias"], decs)),
+            "up_l3": jnp.asarray(_block_diag([d["up_l3"] for d in decs])),
+            "level3_C": _permute_kernel_in(
+                _block_diag([d["level3_C"] for d in decs]), self.perm655),
+            "comb_br_scale": _permute_vec(
+                cat(lambda d: d["comb_br"]["scale"], decs), self.perm50),
+            "comb_br_bias": _permute_vec(
+                cat(lambda d: d["comb_br"]["bias"], decs), self.perm50),
+            "comb_br_alpha": _permute_vec(
+                cat(lambda d: d["comb_br"]["alpha"], decs), self.perm50),
+            "comb_k": _permute_kernel_in(
+                _block_diag([d["comb_cbr"]["kernel"] for d in decs]),
+                self.perm50),
+            "comb_scale": jnp.asarray(
+                cat(lambda d: d["comb_cbr"]["scale"], decs)),
+            "comb_bias": jnp.asarray(
+                cat(lambda d: d["comb_cbr"]["bias"], decs)),
+            "comb_alpha": jnp.asarray(
+                cat(lambda d: d["comb_cbr"]["alpha"], decs)),
+            "up_l2": jnp.asarray(_block_diag([d["up_l2"] for d in decs])),
+            "up_l2_br_scale": jnp.asarray(
+                cat(lambda d: d["up_l2_br"]["scale"], decs)),
+            "up_l2_br_bias": jnp.asarray(
+                cat(lambda d: d["up_l2_br"]["bias"], decs)),
+            "up_l2_br_alpha": jnp.asarray(
+                cat(lambda d: d["up_l2_br"]["alpha"], decs)),
+            "conv_k": _permute_kernel_in(
+                _block_diag([d["conv"]["kernel"] for d in decs]),
+                self.perm120),
+            "conv_scale": jnp.asarray(cat(lambda d: d["conv"]["scale"],
+                                          decs)),
+            "conv_bias": jnp.asarray(cat(lambda d: d["conv"]["bias"], decs)),
+            "conv_alpha": jnp.asarray(cat(lambda d: d["conv"]["alpha"],
+                                          decs)),
+            "classifier": jnp.asarray(
+                _block_diag([d["classifier"] for d in decs])),
         }
 
     # ---------------- packing helpers ----------------
-    def _pack_down(self, packs: List[Dict[str, Any]]) -> Dict[str, Any]:
+    def _pack_down(self, packs: List[Dict[str, Any]], in_perm: np.ndarray,
+                   out_perm: np.ndarray) -> Dict[str, Any]:
+        """c1 consumes a part-major input (in_perm); the block's affine
+        consumes the part-major branch concat (out_perm)."""
         return {
-            "c1": _block_diag([p["c1"] for p in packs]),
-            "branches": [_block_diag([p["branches"][i] for p in packs])
-                         for i in range(5)],
-            "scale": _cat([p["scale"] for p in packs]),
-            "bias": _cat([p["bias"] for p in packs]),
-            "alpha": _cat([p["alpha"] for p in packs]),
+            "c1": _permute_kernel_in(
+                _block_diag([p["c1"] for p in packs]), in_perm),
+            "branches": [jnp.asarray(
+                _block_diag([p["branches"][i] for p in packs]))
+                for i in range(5)],
+            "scale": _permute_vec(_cat([p["scale"] for p in packs]),
+                                  out_perm),
+            "bias": _permute_vec(_cat([p["bias"] for p in packs]),
+                                 out_perm),
+            "alpha": _permute_vec(_cat([p["alpha"] for p in packs]),
+                                  out_perm),
         }
 
-    def _pack_esp(self, packs: List[Dict[str, Any]]) -> Dict[str, Any]:
+    def _pack_esp(self, packs: List[Dict[str, Any]],
+                  perm: np.ndarray) -> Dict[str, Any]:
         # ESP residual block shares the downsampler's structure (1x1
-        # reduce instead of strided 3x3), Model.py:162-214
-        return self._pack_down(packs)
+        # reduce instead of strided 3x3), Model.py:162-214; input and
+        # branch-concat output share the same part structure (perm)
+        return self._pack_down(packs, in_perm=perm, out_perm=perm)
 
     # ---------------- forward ----------------
     def _down_fwd(self, pack, x, stride):
@@ -210,8 +334,9 @@ class PackedEnsembleESPNet:
         add2 = add1 + outs[2]
         add3 = add2 + outs[3]
         add4 = add3 + outs[4]
-        combine = _concat_groups([outs[0], add1, add2, add3, add4],
-                                 self.folds)
+        # part-major: no physical interleave; consumers carry the
+        # fold-major permutation in their packed parameters
+        combine = jnp.concatenate([outs[0], add1, add2, add3, add4], -1)
         return combine, pack
 
     def _down(self, pack, x):
@@ -226,14 +351,18 @@ class PackedEnsembleESPNet:
                              pack["alpha"])
 
     def _level3_per_fold(self, out2_0_packed: jax.Array) -> jax.Array:
-        """(B, h, w, 128F) group-major -> (B, h, w, 5F) packed enc logits.
+        """(B, h, w, 128F) part-major -> (B, h, w, 5F) packed enc logits.
 
         Runs level3 + b3 + classifier per fold via lax.scan over stacked
         fold weights (128 ch/fold already fills the lanes; a block-diagonal
-        form here would 5x the FLOP-dominant convs for no lane gain)."""
+        form here would 5x the FLOP-dominant convs for no lane gain).  The
+        per-fold split performs the one physical channel gather of the
+        part-major layout (the fold-major layout paid an equivalent
+        reshape/transpose here)."""
         b, h, w, _ = out2_0_packed.shape
         F = self.folds
-        x3 = out2_0_packed.reshape(b, h, w, F, -1).transpose(3, 0, 1, 2, 4)
+        sem = out2_0_packed[..., self.pos640]  # fold-major gather
+        x3 = sem.reshape(b, h, w, F, -1).transpose(3, 0, 1, 2, 4)
         template = self._template
 
         def body(_, per_fold):
@@ -252,7 +381,7 @@ class PackedEnsembleESPNet:
         _, enc_logits = jax.lax.scan(
             body, None,
             (x3, self.level3_scan, self.b3_scan, self.cls_scan))
-        # (F, B, h, w, classes) -> (B, h, w, F*classes) group-major
+        # (F, B, h, w, classes) -> (B, h, w, F*classes) fold-major
         return enc_logits.transpose(1, 2, 3, 0, 4).reshape(
             b, h, w, F * self.classes)
 
@@ -275,39 +404,39 @@ class PackedEnsembleESPNet:
             inp1 = avg_pool_3x3_s2(x15)
             inp2 = avg_pool_3x3_s2(inp1)
             out0_cat = _affine_prelu(
-                _concat_groups([out0, inp1], F),
+                jnp.concatenate([out0, inp1], -1),  # layout perm95
                 enc["b1_scale"], enc["b1_bias"], enc["b1_alpha"])
-            out1_0 = self._down(enc["down2"], out0_cat)
+            out1_0 = self._down(enc["down2"], out0_cat)  # layout perm320
             out = out1_0
             for blk in enc["level2"]:
                 out = self._esp(blk, out)
             out1_cat = _affine_prelu(
-                _concat_groups([out, out1_0, inp2], F),
+                jnp.concatenate([out, out1_0, inp2], -1),  # perm655
                 enc["b2_scale"], enc["b2_bias"], enc["b2_alpha"])
-            out2_0 = self._down(enc["down3"], out1_cat)
+            out2_0 = self._down(enc["down3"], out1_cat)  # layout perm640
 
-            enc_logits = self._level3_per_fold(out2_0)
+            enc_logits = self._level3_per_fold(out2_0)  # fold-major
 
             # RUM decoder, packed (Model.py:330-339,370-378)
-            y = enc_logits * dec["br_scale"].astype(enc_logits.dtype) \
-                + dec["br_bias"].astype(enc_logits.dtype)
-            out2_c = upconv2x2(y, dec["up_l3"])
-            out1_c = _conv(out1_cat, dec["level3_C"])
+            y = _affine(enc_logits, dec["br_scale"], dec["br_bias"])
+            out2_c = upconv2x2(y, dec["up_l3"])  # fold-major
+            out1_c = _conv(out1_cat, dec["level3_C"])  # fold-major
             comb = _affine_prelu(
-                _concat_groups([out1_c, out2_c], F),
+                jnp.concatenate([out1_c, out2_c], -1),  # perm50
                 dec["comb_br_scale"], dec["comb_br_bias"],
                 dec["comb_br_alpha"])
             comb = _affine_prelu(_conv(comb, dec["comb_k"]),
                                  dec["comb_scale"], dec["comb_bias"],
-                                 dec["comb_alpha"])
+                                 dec["comb_alpha"])  # fold-major
             comb = upconv2x2(comb, dec["up_l2"])
             comb = _affine_prelu(comb, dec["up_l2_br_scale"],
                                  dec["up_l2_br_bias"],
                                  dec["up_l2_br_alpha"])
             feats = _affine_prelu(
-                _conv(_concat_groups([comb, out0_cat], F), dec["conv_k"]),
+                _conv(jnp.concatenate([comb, out0_cat], -1),  # perm120
+                      dec["conv_k"]),
                 dec["conv_scale"], dec["conv_bias"], dec["conv_alpha"])
-            logits = upconv2x2(feats, dec["classifier"])
+            logits = upconv2x2(feats, dec["classifier"])  # fold-major
         bh, hh, wh, _ = logits.shape
         return logits.reshape(bh, hh, wh, F, self.classes)
 
