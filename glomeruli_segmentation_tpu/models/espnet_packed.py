@@ -385,12 +385,13 @@ class PackedEnsembleESPNet:
         return enc_logits.transpose(1, 2, 3, 0, 4).reshape(
             b, h, w, F * self.classes)
 
-    def packed_logits(self, resized: jax.Array) -> jax.Array:
-        """Raw resized BGR crops (B, H, W, 3) -> (B, H, W, F, classes)."""
+    def packed_feats(self, resized: jax.Array) -> jax.Array:
+        """Raw resized BGR crops (B, H, W, 3) -> decoder features
+        (B, H/2, W/2, F*classes), i.e. everything up to (excluding) the
+        final 2x2-stride-2 classifier upconv."""
         enc = self.enc
         dec = self.dec
         F = self.folds
-        b = resized.shape[0]
         # per-fold normalization as a (B, H, W, 3F) stack so conv zero-
         # padding keeps its normalized-domain (per-fold) meaning
         x = resized.astype(jnp.float32)
@@ -436,12 +437,60 @@ class PackedEnsembleESPNet:
                 _conv(jnp.concatenate([comb, out0_cat], -1),  # perm120
                       dec["conv_k"]),
                 dec["conv_scale"], dec["conv_bias"], dec["conv_alpha"])
-            logits = upconv2x2(feats, dec["classifier"])  # fold-major
+        return feats  # fold-major
+
+    def packed_logits(self, resized: jax.Array) -> jax.Array:
+        """Raw resized BGR crops (B, H, W, 3) -> (B, H, W, F, classes)."""
+        feats = self.packed_feats(resized)
+        with jax.default_matmul_precision(self.precision):
+            logits = upconv2x2(feats, self.dec["classifier"])  # fold-major
         bh, hh, wh, _ = logits.shape
-        return logits.reshape(bh, hh, wh, F, self.classes)
+        return logits.reshape(bh, hh, wh, self.folds, self.classes)
+
+    def _ensemble_argmax(self, logits_fc: jax.Array) -> jax.Array:
+        """(..., F, classes) logits -> (...) uint8 ensemble argmax."""
+        probs = jax.nn.softmax(logits_fc.astype(self.accum_dtype), axis=-1)
+        return jnp.argmax(probs.sum(axis=-2), axis=-1).astype(jnp.uint8)
 
     def __call__(self, resized: jax.Array) -> jax.Array:
         """Raw resized BGR crops -> (B, H, W) uint8 ensemble argmax."""
-        logits = self.packed_logits(resized)
-        probs = jax.nn.softmax(logits.astype(self.accum_dtype), axis=-1)
-        return jnp.argmax(probs.sum(axis=3), axis=-1).astype(jnp.uint8)
+        return self._ensemble_argmax(self.packed_logits(resized))
+
+    def gathered_argmax(self, resized: jax.Array, ys: jax.Array,
+                        xs: jax.Array) -> jax.Array:
+        """Ensemble argmax at gathered output pixels only: (B, oh, ow).
+
+        ``ys``/``xs`` are (B, oh)/(B, ow) int32 row/column tables into the
+        full-resolution (H, W) class map — the /8 stitch tables of
+        :meth:`..pipeline.fused.EnsembleSegmenter.segment_batch_gather`.
+
+        The gather commutes through the final 2x2-stride-2 classifier
+        upconv: output pixel (y, x) depends on exactly one feature pixel
+        (y//2, x//2) through the (y%2, x%2) phase kernel (upconv2x2's
+        einsum + pixel shuffle).  Gathering *before* the upconv avoids
+        materializing the full-res logits at all — (B, 512, 1024, 25)
+        bf16 pads its 25-channel minor dim to 128 lanes on TPU, so the
+        skipped tail is ~6 GB of HBM writes plus the softmax/argmax pass
+        over it (measured in BASELINE.md "Fold-packed ensemble")."""
+        feats = self.packed_feats(resized)
+        K = self.dec["classifier"]  # (2, 2, C, C) block-diagonal
+        F, C = self.folds, self.folds * self.classes
+
+        with jax.default_matmul_precision(self.precision):
+            def one(f, y_idx, x_idx):
+                g = f[y_idx // 2][:, x_idx // 2]  # (oh, ow, C)
+                phases = [
+                    jnp.einsum("hwc,co->hwo", g, K[u, v].astype(g.dtype))
+                    for u in (0, 1) for v in (0, 1)]
+                py = (y_idx % 2)[:, None, None]
+                px = (x_idx % 2)[None, :, None]
+                logits = jnp.where(
+                    py == 0,
+                    jnp.where(px == 0, phases[0], phases[1]),
+                    jnp.where(px == 0, phases[2], phases[3]))
+                return logits  # (oh, ow, C) fold-major
+
+            logits = jax.vmap(one)(feats, ys, xs)
+        oh, ow = logits.shape[1:3]
+        logits_fc = logits.reshape(-1, oh, ow, F, self.classes)
+        return self._ensemble_argmax(logits_fc)

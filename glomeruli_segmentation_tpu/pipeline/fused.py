@@ -256,7 +256,21 @@ class EnsembleSegmenter:
         caller passes per-crop gather tables (computed on host in float64,
         byte-identical to :func:`..ops.preprocess.postprocess_nearest_host`)
         and only (B, oh, ow) uint8 leaves the device.
+
+        With the packed engine the gather additionally commutes through
+        the final classifier upconv (``PackedEnsembleESPNet
+        .gathered_argmax``), skipping the full-res lane-padded logits
+        entirely.
         """
+        cfg = self.config
+        if self.engine == "packed":
+            def resize_one(img, h, w):
+                return resize_bilinear_dynamic(
+                    img.astype(jnp.float32), h, w,
+                    cfg.in_height, cfg.in_width)
+
+            resized = jax.vmap(resize_one)(padded, heights, widths)
+            return self._packed.gathered_argmax(resized, ys, xs)
         maps = self._forward_impl(padded, heights, widths)
 
         def one(m, y_idx, x_idx):
@@ -267,6 +281,8 @@ class EnsembleSegmenter:
     def _forward_gather_resized_impl(self, resized: jax.Array, ys: jax.Array,
                                      xs: jax.Array) -> jax.Array:
         """Pre-resized forward + the same on-device /8 stitch gather."""
+        if self.engine == "packed":
+            return self._packed.gathered_argmax(resized, ys, xs)
         maps = self._forward_resized_impl(resized)
 
         def one(m, y_idx, x_idx):

@@ -106,6 +106,31 @@ def test_segment_slide_ds8_matches_full_path(ensemble, tmp_path):
     np.testing.assert_array_equal(ds8, full)
 
 
+def test_segment_slide_ds8_matches_full_path_packed(reference_models_dir,
+                                                    tmp_path):
+    """Packed engine: the /8 gather commutes through the classifier
+    upconv (PackedEnsembleESPNet.gathered_argmax) — its stitch canvas
+    must equal the full-res path's byte for byte."""
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    ckpts = [str(reference_models_dir / f"espnet_fold{k}.pth")
+             for k in range(1, 6)]
+    packed = EnsembleSegmenter(EnsembleConfig(
+        checkpoints=ckpts, batch_size=2, compute_dtype="float32",
+        precision="highest"), engine="packed")
+    img, _ = pas_like_image(1024, 1536, seed=21, n_glomeruli=3)
+    path = str(tmp_path / "s.tiff")
+    write_pyramidal_tiff(path, img, mpp=0.25, levels=3)
+    slide = Slide(path)
+    detections = [[256, 256, 640, 640, 0.9], [640, 384, 1021, 763, 0.9],
+                  [100, 700, 450, 1000, 0.9]]
+    fused = FusedSlideSegmenter(packed)
+    ds8 = fused.segment_slide(slide, detections)            # gather path
+    full = fused.segment_slide(slide, detections,
+                               on_crop=lambda box, m: None)  # full-res path
+    np.testing.assert_array_equal(ds8, full)
+
+
 def test_host_resize_matches_device_resize(ensemble, tmp_path):
     """host_resize=True (cv2 pre-resize on host, compute-dtype transfer)
     must reproduce the on-device dynamic-resize path: same half-pixel
