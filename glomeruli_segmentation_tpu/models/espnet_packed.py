@@ -56,6 +56,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas.esp_block import _esp_dma_call, esp_pad_io, esp_unpad_io
 from .espnet import avg_pool_3x3_s2, upconv2x2
 from .espnet_fused import FusedESPNet, _conv
 
@@ -128,6 +129,31 @@ def _permute_vec(vec: np.ndarray, perm: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.asarray(vec)[perm])
 
 
+def _esp_fused_operands(pack) -> tuple:
+    """Part-major packed ESP block dict -> ``esp_block_fused`` operands.
+
+    The Pallas kernel's output concat ``[d1, add1..add4]`` is exactly the
+    packed engine's part-major physical layout, and its folded affine
+    consumes the already out_perm-permuted scale/bias/alpha — so a packed
+    (block-diagonal) ESP block rides the proven level-3 kernel unchanged:
+    ``w1`` is the in_perm-permuted block-diagonal 1x1 reduce and ``wd``
+    stacks the block-diagonal dilated taps along the contraction axis
+    (cross-fold zeros are exact; the MXU fills 128 lanes either way).
+    """
+    w1 = np.asarray(pack["c1"])[0, 0]  # (C, n)
+    n = w1.shape[1]
+    widths = [np.asarray(b).shape[-1] for b in pack["branches"]]
+    n_pad = max(widths)
+    wd = np.zeros((5, 9 * n, n_pad), np.float32)
+    for i, b in enumerate(pack["branches"]):
+        k = np.asarray(b)  # (3, 3, n, width_i) block-diagonal
+        for tap in range(9):
+            dy, dx = divmod(tap, 3)
+            wd[i, tap * n: (tap + 1) * n, : k.shape[-1]] = k[dy, dx]
+    return (jnp.asarray(w1), jnp.asarray(wd), jnp.asarray(pack["scale"]),
+            jnp.asarray(pack["bias"]), jnp.asarray(pack["alpha"]))
+
+
 def _affine_prelu(x, scale, bias, alpha):
     y = x * scale.astype(x.dtype) + bias.astype(x.dtype)
     return jnp.maximum(y, 0) + alpha.astype(x.dtype) * jnp.minimum(y, 0)
@@ -152,6 +178,7 @@ class PackedEnsembleESPNet:
     def __init__(self, variable_trees: Sequence[Dict[str, Any]],
                  means: np.ndarray, stds: np.ndarray, classes: int = 5,
                  p: int = 2, q: int = 8, level3: str = "xla",
+                 level2: str = "xla",
                  interpret: bool = False,
                  compute_dtype: str = "bfloat16",
                  accum_dtype: str = "float32",
@@ -165,6 +192,8 @@ class PackedEnsembleESPNet:
         self.classes = classes
         self.p, self.q = p, q
         self.level3 = level3
+        self.level2 = level2
+        self.interpret = interpret
         self._template = nets[0]
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.accum_dtype = jnp.dtype(accum_dtype)
@@ -244,6 +273,13 @@ class PackedEnsembleESPNet:
                                      in_perm=self.perm655,
                                      out_perm=self.perm640),
         }
+        if level2 == "pallas":
+            # the packed (320-ch) level-2 blocks through the fused Pallas
+            # ESP kernel, W-tiled past the Mosaic spatial-extent wall;
+            # stacked for a lax.scan (one Pallas call site for both blocks)
+            ops = [_esp_fused_operands(blk) for blk in self.enc["level2"]]
+            self.level2_kernel = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *ops)
         # level3 + b3 + classifier stay per-fold: stack fold weights for a
         # lax.scan (dynamic-weight convs keep XLA's dense conv selection —
         # vmap over weights would lower to slow batched-group convs)
@@ -350,6 +386,31 @@ class PackedEnsembleESPNet:
         return _affine_prelu(combine, pack["scale"], pack["bias"],
                              pack["alpha"])
 
+    def _esp_chain_packed(self, x: jax.Array) -> jax.Array:
+        """The p packed level-2 ESP blocks as one scanned Pallas call.
+
+        Same kernel family as ``FusedESPNet._esp_chain`` — the packed
+        320-channel shape fills the kernel's matmul lanes ~5x better than
+        the per-fold 64-channel form that measured below XLA — but via
+        the strip-DMA variant: the whole-image VMEM window of the plain
+        kernel cannot be double-buffered at 128x256x320 (measured VMEM
+        OOM, see ``esp_block_fused_dma``).  The kernel's padded HBM
+        layout (zero halo columns + zero 128-aligned pad channels) is
+        maintained across the chain, so the pad/unpad copies happen once
+        per level, not once per block."""
+        interpret = self.interpret
+        c = x.shape[-1]
+
+        def body(h, pack):
+            w1, wd, scale, bias, alpha = pack
+            h = _esp_dma_call(h, w1.astype(h.dtype), wd.astype(h.dtype),
+                              scale, bias, alpha, add_residual=True,
+                              interpret=interpret, pack_taps=False)
+            return h, None
+
+        out, _ = jax.lax.scan(body, esp_pad_io(x), self.level2_kernel)
+        return esp_unpad_io(out, c)
+
     def _level3_per_fold(self, out2_0_packed: jax.Array) -> jax.Array:
         """(B, h, w, 128F) part-major -> (B, h, w, 5F) packed enc logits.
 
@@ -408,9 +469,12 @@ class PackedEnsembleESPNet:
                 jnp.concatenate([out0, inp1], -1),  # layout perm95
                 enc["b1_scale"], enc["b1_bias"], enc["b1_alpha"])
             out1_0 = self._down(enc["down2"], out0_cat)  # layout perm320
-            out = out1_0
-            for blk in enc["level2"]:
-                out = self._esp(blk, out)
+            if self.level2 == "pallas":
+                out = self._esp_chain_packed(out1_0)
+            else:
+                out = out1_0
+                for blk in enc["level2"]:
+                    out = self._esp(blk, out)
             out1_cat = _affine_prelu(
                 jnp.concatenate([out, out1_0, inp2], -1),  # perm655
                 enc["b2_scale"], enc["b2_bias"], enc["b2_alpha"])

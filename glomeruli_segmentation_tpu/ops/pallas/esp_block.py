@@ -36,6 +36,23 @@ halo recompute costs more than the fusion saves at n=12 channels.  So
 ``fuse_level2`` stays False by default and level-2 runs the XLA path
 (models/espnet_fused.py); the tiling machinery is kept for the level-3
 shape family and covered by interpret-mode parity tests.
+
+**Strip-DMA variant verdict (round 3, packed-ensemble level-2 shape).**
+The fold-packed engine's 320-channel level-2 blocks re-raise the fusion
+question with 5x better lane economics.  The whole-window form OOMs VMEM
+there (151.9M of 128M: double-buffered 24 MB in/out image windows + 52 MB
+of Mosaic register spills from the 4-tile unroll).  The strip-DMA form
+below (``esp_block_fused_dma``: image stays in HBM, per-tile strips are
+DMA'd into single-buffered VMEM scratch, uniform zero-padded tiles keep
+the loop a one-body ``fori_loop``) fixes both — it compiles in ~2.5 min
+(vs ~30 for the unrolled W-tile form) and fits comfortably — but still
+measures *behind* XLA on the packed ensemble at B=48: 413.4 ms for the
+full 5-fold forward vs 394.9 ms with level-2 on XLA (tap-by-tap matmuls;
+the pack_taps form did not finish compiling before the compile service
+recycled).  Verdict: level-2 stays on XLA in the packed engine too
+(``PackedEnsembleESPNet(level2="xla")`` default); the strip-DMA kernel is
+retained as proven, parity-tested infrastructure — it is the template
+for fusing shapes whose windows cannot live in VMEM.
 """
 from __future__ import annotations
 
@@ -141,6 +158,228 @@ def _esp_kernel(x_ref, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
         y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
         out_ref[0, :, t * w_tile: (t + 1) * w_tile, :] = (
             y.reshape(height, w_tile, c).astype(out_ref.dtype))
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _esp_kernel_dma(x_hbm, w1_ref, wd_ref, scale_ref, bias_ref, alpha_ref,
+                    out_hbm, x_strip, rpad_ref, out_strip, sems, *,
+                    height: int, width: int, c: int, c_pad: int, n: int,
+                    n1: int, add_residual: bool, pack_taps: bool,
+                    w_tile: int):
+    """Strip-DMA variant of the fused ESP block for large-channel shapes.
+
+    The whole-image windowed form double-buffers (1, H, W, C) in/out
+    blocks in VMEM — at the packed-ensemble level-2 shape (128x256x320
+    bf16) that alone is ~96 MB and the program OOMs VMEM (measured:
+    151.9M needed of 128M).  Here the image stays in HBM (`pl.ANY`) and
+    each W-tile manually DMAs a (H, w_tile + 2*HALO, c_pad) strip into a
+    single VMEM scratch, computes the full block on the strip, and DMAs
+    the (H, w_tile, c_pad) result back out.
+
+    The HBM layout is padded on BOTH the width axis (HALO zero columns a
+    side, so every tile has uniform bounds and the tile loop is a
+    ``fori_loop`` with one body — the 4x-unrolled static variant spilled
+    52 MB of registers) and the channel axis (to a multiple of 128:
+    Mosaic requires HBM slice extents aligned to the 128-lane tiling —
+    measured hard error at 320).  Zero x columns/channels are exact:
+    they reduce to zero halo columns (the dilated convs' zero-padding
+    semantics), and zero w1 rows + zero affine params keep the pad
+    channels at exactly 0 through a chained sequence of blocks.
+    ``out_hbm`` gets the same padded layout, with the halo columns
+    zeroed once per image so blocks chain without host-side re-padding.
+    """
+    i = pl.program_id(0)
+    n_tiles = width // w_tile
+    hw = height * w_tile
+
+    def reduce_cols(sp: int, cols: int):
+        """1x1-reduce strip columns [sp, sp+cols) on the MXU."""
+        xs = x_strip[:, sp: sp + cols, :]
+        r = jnp.dot(xs.reshape(height * cols, c_pad), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+        return r.reshape(height, cols, n).astype(rpad_ref.dtype)
+
+    def branch(d_index: int, dilation: int, width_out: int):
+        if pack_taps:
+            windows = []
+            for dy in (-dilation, 0, dilation):
+                for dx in (-dilation, 0, dilation):
+                    windows.append(
+                        rpad_ref[HALO + dy: HALO + dy + height,
+                                 HALO + dx: HALO + dx + w_tile, :]
+                        .reshape(hw, n))
+            packed = jnp.concatenate(windows, axis=1)
+            acc = jnp.dot(packed, wd_ref[d_index],
+                          preferred_element_type=jnp.float32)
+            return acc[:, :width_out]
+        acc = None
+        tap = 0
+        for dy in (-dilation, 0, dilation):
+            for dx in (-dilation, 0, dilation):
+                window = rpad_ref[HALO + dy: HALO + dy + height,
+                                  HALO + dx: HALO + dx + w_tile, :]
+                part = jnp.dot(window.reshape(hw, n),
+                               wd_ref[d_index, tap * n: (tap + 1) * n],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+                tap += 1
+        return acc[:, :width_out]
+
+    def tile(t, carry):
+        c0 = t * w_tile  # tile's first center column, PADDED coords = +HALO
+        copy_in = pltpu.make_async_copy(
+            x_hbm.at[i, :, pl.ds(c0, w_tile + 2 * HALO), :],
+            x_strip, sems.at[0])
+        copy_in.start()
+        copy_in.wait()
+
+        # top/bottom halo rows are the convs' vertical zero padding; the
+        # columns are all filled below (three calls, not one: each
+        # relayout's spatial extent must stay <= the 8192 compile wall)
+        rpad_ref[0: HALO, :, :] = jnp.zeros_like(rpad_ref[0: HALO])
+        rpad_ref[HALO + height:, :, :] = \
+            jnp.zeros_like(rpad_ref[HALO + height:])
+        rpad_ref[HALO: HALO + height, 0: HALO, :] = reduce_cols(0, HALO)
+        rpad_ref[HALO: HALO + height, HALO: HALO + w_tile, :] = \
+            reduce_cols(HALO, w_tile)
+        rpad_ref[HALO: HALO + height, HALO + w_tile:, :] = \
+            reduce_cols(HALO + w_tile, HALO)
+
+        d1 = branch(0, 1, n1)
+        add1 = branch(1, 2, n)
+        add2 = add1 + branch(2, 4, n)
+        add3 = add2 + branch(3, 8, n)
+        add4 = add3 + branch(4, 16, n)
+        parts = [d1, add1, add2, add3, add4]
+        if c_pad > c:
+            parts.append(jnp.zeros((hw, c_pad - c), jnp.float32))
+        combine = jnp.concatenate(parts, axis=1)
+        if add_residual:
+            xt = x_strip[:, HALO: HALO + w_tile, :]
+            combine = combine + xt.reshape(hw, c_pad).astype(jnp.float32)
+        y = combine * scale_ref[0] + bias_ref[0]
+        alpha = alpha_ref[0]
+        y = jnp.maximum(y, 0) + alpha * jnp.minimum(y, 0)
+        out_strip[:] = y.reshape(height, w_tile, c_pad).astype(
+            out_strip.dtype)
+
+        copy_out = pltpu.make_async_copy(
+            out_strip,
+            out_hbm.at[i, :, pl.ds(HALO + c0, w_tile), :], sems.at[1])
+        copy_out.start()
+        copy_out.wait()
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, tile, None)
+
+    # zero the output's halo columns once per image so chained blocks can
+    # consume out_hbm directly as their padded input
+    out_strip[:, 0: HALO, :] = jnp.zeros_like(out_strip[:, 0: HALO])
+    for col0 in (0, HALO + width):
+        zero_halo = pltpu.make_async_copy(
+            out_strip.at[:, 0: HALO, :],
+            out_hbm.at[i, :, pl.ds(col0, HALO), :], sems.at[1])
+        zero_halo.start()
+        zero_halo.wait()
+
+
+def _esp_dma_call(x_padded: jax.Array, w1: jax.Array, wd: jax.Array,
+                  scale: jax.Array, bias: jax.Array, alpha: jax.Array,
+                  add_residual: bool, interpret: bool,
+                  pack_taps: bool) -> jax.Array:
+    """Padded-layout strip-DMA ESP block: (B, H, W + 2*HALO, c_pad) in and
+    out, with zero halo columns and zero pad channels maintained — blocks
+    chain without host-side re-padding.  Operands are the LOGICAL-width
+    ones of :func:`esp_block_fused`; this pads them internally."""
+    b, h, wp, c_pad = x_padded.shape
+    w = wp - 2 * HALO
+    n = w1.shape[1]
+    c = w1.shape[0]
+    n1 = c - 4 * n
+    assert c_pad == _round_up(c, 128) or c_pad == c, (c, c_pad)
+
+    if c_pad > c:
+        w1 = jnp.pad(w1, ((0, c_pad - c), (0, 0)))
+        scale = jnp.pad(scale, (0, c_pad - c))
+        bias = jnp.pad(bias, (0, c_pad - c))
+        alpha = jnp.pad(alpha, (0, c_pad - c))
+
+    w_tile = w
+    while h * w_tile > 8192 and w_tile % 2 == 0:
+        w_tile //= 2
+
+    kernel = functools.partial(
+        _esp_kernel_dma, height=h, width=w, c=c, c_pad=c_pad, n=n, n1=n1,
+        add_residual=add_residual, pack_taps=pack_taps, w_tile=w_tile)
+
+    def const_spec(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * ndim,
+                            memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, c_pad), x_padded.dtype),
+        in_specs=[
+            any_spec,
+            const_spec((c_pad, n)),
+            const_spec(wd.shape),
+            const_spec((1, c_pad)),
+            const_spec((1, c_pad)),
+            const_spec((1, c_pad)),
+        ],
+        out_specs=any_spec,
+        scratch_shapes=[
+            pltpu.VMEM((h, w_tile + 2 * HALO, c_pad), x_padded.dtype),
+            pltpu.VMEM((h + 2 * HALO, w_tile + 2 * HALO, n),
+                       x_padded.dtype),
+            pltpu.VMEM((h, w_tile, c_pad), x_padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_padded, w1, wd, scale[None], bias[None], alpha[None])
+
+
+def esp_pad_io(x: jax.Array) -> jax.Array:
+    """Pad (B, H, W, C) to the strip-DMA kernel's HBM layout:
+    (B, H, W + 2*HALO, round_up(C, 128)) with zero halos/channels."""
+    b, h, w, c = x.shape
+    return jnp.pad(x, ((0, 0), (0, 0), (HALO, HALO),
+                       (0, _round_up(c, 128) - c)))
+
+
+def esp_unpad_io(x_padded: jax.Array, c: int) -> jax.Array:
+    """Inverse of :func:`esp_pad_io`."""
+    return x_padded[:, :, HALO: x_padded.shape[2] - HALO, :c]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("add_residual", "interpret",
+                                    "pack_taps"))
+def esp_block_fused_dma(x: jax.Array, w1: jax.Array, wd: jax.Array,
+                        scale: jax.Array, bias: jax.Array,
+                        alpha: jax.Array, add_residual: bool = True,
+                        interpret: bool = False,
+                        pack_taps: bool = False) -> jax.Array:
+    """Strip-DMA fused ESP block (same operands as ``esp_block_fused``).
+
+    For shapes whose whole-image VMEM window cannot be double-buffered —
+    the fold-packed ensemble's 320-channel level-2 blocks.  Chains of
+    blocks should pad once via :func:`esp_pad_io`, call
+    :func:`_esp_dma_call` per block, and unpad once at the end; this
+    convenience wrapper does the pad/unpad round-trip per call."""
+    c = x.shape[3]
+    out = _esp_dma_call(esp_pad_io(x), w1, wd, scale, bias, alpha,
+                        add_residual=add_residual, interpret=interpret,
+                        pack_taps=pack_taps)
+    return esp_unpad_io(out, c)
 
 
 def fold_bn(scale, bias, mean, var, eps: float = 1e-3):

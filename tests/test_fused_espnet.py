@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from glomeruli_segmentation_tpu.models.espnet import ESPBlock, ESPNet
 from glomeruli_segmentation_tpu.ops.pallas.esp_block import (
     esp_block_fused,
+    esp_block_fused_dma,
     fold_bn,
     pack_esp_weights,
 )
@@ -44,6 +45,30 @@ def test_esp_block_kernel_matches_flax(c, h, w):
     out = np.asarray(esp_block_fused(jnp.asarray(x), *packed,
                                      interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-2)
+
+
+@pytest.mark.parametrize("c,h,w,pack_taps", [
+    (64, 16, 32, False),    # single tile
+    (64, 64, 256, False),   # 2 width tiles (halo strips across DMA'd pad)
+    (320, 32, 128, True),   # packed-ensemble channel count (and pack_taps)
+])
+def test_esp_block_dma_matches_plain_kernel(c, h, w, pack_taps):
+    """Strip-DMA variant vs the whole-window kernel: identical math."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    block = ESPBlock(c)
+    variables = block.init(jax.random.key(1), jnp.asarray(x))
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 2.0, a.shape), a.dtype),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    packed = pack_esp_weights(variables["params"], variables["batch_stats"])
+    want = np.asarray(esp_block_fused(jnp.asarray(x), *packed,
+                                      interpret=True))
+    got = np.asarray(esp_block_fused_dma(jnp.asarray(x), *packed,
+                                         interpret=True,
+                                         pack_taps=pack_taps))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-2)
 
 
 @pytest.mark.slow

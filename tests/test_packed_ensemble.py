@@ -109,6 +109,37 @@ def test_packed_matches_fold_scan_ensemble(reference_models_dir, level3):
     assert disagree < 1e-3, disagree
 
 
+def test_packed_level2_pallas_matches_xla(reference_models_dir):
+    """The packed level-2 blocks through the fused Pallas ESP kernel
+    (block-diagonal 320-ch form) vs the packed XLA path: identical math,
+    different accumulation order only."""
+    from glomeruli_segmentation_tpu.convert.espnet_import import (
+        load_espnet_variables,
+    )
+
+    folds = (1, 4)
+    trees = [load_espnet_variables(
+        str(reference_models_dir / f"espnet_fold{k}.pth")) for k in folds]
+    means = [FOLD_NORMALIZATION[f][0] for f in folds]
+    stds = [FOLD_NORMALIZATION[f][1] for f in folds]
+    kw = dict(level3="xla", interpret=True, compute_dtype="float32",
+              precision="highest")
+    ref = PackedEnsembleESPNet(trees, means, stds, level2="xla", **kw)
+    fused = PackedEnsembleESPNet(trees, means, stds, level2="pallas", **kw)
+
+    rng = np.random.RandomState(11)
+    # 256x1024 input -> level-2 extent 64x256 -> w_tile 128, TWO tiles:
+    # exercises the private halo strips around the block-diagonal reduce
+    img = np.clip(np.full((1, 256, 1024, 3), (200, 170, 205))
+                  + rng.randint(-25, 25, (1, 256, 1024, 3)), 0,
+                  255).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        a = np.asarray(ref.packed_logits(jnp.asarray(img)))
+        b = np.asarray(fused.packed_logits(jnp.asarray(img)))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-2)
+    np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+
 def test_packed_logits_match_per_fold_fused(reference_models_dir):
     """Packed (B,H,W,F,C) logits vs each fold's FusedESPNet logits."""
     from glomeruli_segmentation_tpu.convert.espnet_import import (
