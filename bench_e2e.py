@@ -98,15 +98,17 @@ def bench_detection(slide_path: str) -> dict:
     # window reads; the device rate comes from resident re-detection of
     # one batch.
     level = slide.get_best_level_for_downsample(8)
-    wx = int(WINDOW * 8 * 0.23 / 0.23 / 8)
+    # repeat exactly the scan's read pattern: calc_window_size()'s px
+    # window at the ds-8 level, zero overlap -> stride == window
     t0 = time.perf_counter()
     for j in range(y_split):
         for i in range(x_split):
             np.asarray(slide.read_region_array(
-                (i * wx * 8, j * wx * 8), level, (wx, wx)))
+                (i * wx_org * 8, j * wy_org * 8), level, (wx_org, wy_org)))
     t_read = time.perf_counter() - t0
     batch = np.stack([np.asarray(slide.read_region_array(
-        (k * wx * 8, 0), level, (wx, wx))) for k in range(4)])
+        (k * wx_org * 8, 0), level, (wx_org, wy_org)))
+        for k in range(4)])
     backend.detect_batch(batch)
     t0 = time.perf_counter()
     iters = 4

@@ -127,10 +127,13 @@ class FusedESPNet:
             # leading block axis so the Pallas kernel appears once per
             # level in the XLA program (10 inlined call sites would
             # multiply AOT compile time)
+            # only the selected variant per level is packed: the unused
+            # one would otherwise ride along as dead per-fold device
+            # copies (q=8 x folds x both forms) in every ensemble stack
             "level2": jax.tree.map(
                 lambda *xs: jnp.stack(xs),
                 *[pack_esp_weights(p[f"level2_{i}"], s[f"level2_{i}"])
-                  for i in range(self.p)]),
+                  for i in range(self.p)]) if self.fuse_level2 else None,
             "level2_raw": [self._pack_esp_raw(p[f"level2_{i}"],
                                               s[f"level2_{i}"])
                            for i in range(self.p)],
@@ -139,10 +142,11 @@ class FusedESPNet:
             "level3": jax.tree.map(
                 lambda *xs: jnp.stack(xs),
                 *[pack_esp_weights(p[f"level3_{i}"], s[f"level3_{i}"])
-                  for i in range(self.q)]),
+                  for i in range(self.q)]) if self.fuse_level3 else None,
             "level3_raw": [self._pack_esp_raw(p[f"level3_{i}"],
                                               s[f"level3_{i}"])
-                           for i in range(self.q)],
+                           for i in range(self.q)] if not self.fuse_level3
+                          else None,
             "b3": self._pack_br(p["b3"], s["b3"]),
             "classifier": jnp.asarray(p["classifier"]["conv"]["kernel"]),
         }

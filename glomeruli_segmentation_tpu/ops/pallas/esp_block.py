@@ -310,6 +310,14 @@ def _esp_dma_call(x_padded: jax.Array, w1: jax.Array, wd: jax.Array,
     w_tile = w
     while h * w_tile > 8192 and w_tile % 2 == 0:
         w_tile //= 2
+    if h * w_tile > 8192:
+        raise ValueError(
+            f"no power-of-two W tiling of ({h}, {w}) fits the 8192 "
+            "relayout extent wall; pad W to a power-of-two multiple")
+    if w_tile < HALO:
+        raise ValueError(
+            f"w_tile {w_tile} < halo {HALO}: H={h} is too tall for the "
+            "strip-DMA kernel's halo-zeroing copies; tile H instead")
 
     kernel = functools.partial(
         _esp_kernel_dma, height=h, width=w, c=c, c_pad=c_pad, n=n, n1=n1,

@@ -127,6 +127,20 @@ class FusedEndToEnd:
                         name = line.split(",")[0].strip().strip('"')
                         if name:
                             done.add(name)
+            # drop CSV rows from slides missing their timing-log row: an
+            # interrupt can land between the two appends below (the rows
+            # flush first), and --resume reruns exactly those slides —
+            # without this sweep their rows would duplicate
+            if os.path.isfile(csv_path):
+                with open(csv_path) as f:
+                    rows = f.readlines()
+                kept = [r for r in rows
+                        if r.split(",")[1].strip().strip('"') in done]
+                if len(kept) != len(rows):
+                    tmp = csv_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.writelines(kept)
+                    os.replace(tmp, csv_path)
             return done
         for path in (csv_path, log_path):
             if os.path.isfile(path):

@@ -97,7 +97,13 @@ class EnsembleSegmenter:
         else:
             for ckpt in config.checkpoints:
                 trees.append(load_espnet_variables(ckpt))
-            self.variables = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+            # the stacked raw fold tree feeds only the xla fold-vmap
+            # engine; the packed/fused engines repack `trees` themselves —
+            # stacking (and, under a mesh, uploading) ~7 MB of unused fold
+            # weights for them would be pure overhead on this tunnel
+            self.variables = (jax.tree.map(lambda *xs: jnp.stack(xs),
+                                           *trees)
+                              if engine == "xla" else None)
         self.mean = jnp.asarray(means, jnp.float32)  # (F, 3) BGR
         self.std = jnp.asarray(stds, jnp.float32)
         self.model = ESPNet(config.classes, config.p, config.q)
@@ -145,7 +151,8 @@ class EnsembleSegmenter:
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
             self._data_sharding = data
-            self.variables = jax.device_put(self.variables, repl)
+            if self.variables is not None:
+                self.variables = jax.device_put(self.variables, repl)
             self.mean = jax.device_put(self.mean, repl)
             self.std = jax.device_put(self.std, repl)
             self._forward = jax.jit(
@@ -170,17 +177,22 @@ class EnsembleSegmenter:
             self._forward_gather_resized = jax.jit(
                 self._forward_gather_resized_impl)
 
-    def _forward_impl(self, padded: jax.Array, heights: jax.Array,
+    def _resize_batch(self, padded: jax.Array, heights: jax.Array,
                       widths: jax.Array) -> jax.Array:
-        """(B, maxH, maxW, 3) uint8 BGR + valid sizes -> (B, H, W) uint8."""
+        """Per-crop cv2-exact dynamic resize to the network input size."""
         cfg = self.config
 
         def resize_one(img, h, w):
             return resize_bilinear_dynamic(img.astype(jnp.float32), h, w,
                                            cfg.in_height, cfg.in_width)
 
-        resized = jax.vmap(resize_one)(padded, heights, widths)  # (B, H, W, 3)
-        return self._fold_argmax(resized)
+        return jax.vmap(resize_one)(padded, heights, widths)
+
+    def _forward_impl(self, padded: jax.Array, heights: jax.Array,
+                      widths: jax.Array) -> jax.Array:
+        """(B, maxH, maxW, 3) uint8 BGR + valid sizes -> (B, H, W) uint8."""
+        return self._fold_argmax(self._resize_batch(padded, heights,
+                                                    widths))
 
     def _forward_resized_impl(self, resized: jax.Array) -> jax.Array:
         """(B, in_h, in_w, 3) float crops already at network resolution
@@ -262,14 +274,8 @@ class EnsembleSegmenter:
         .gathered_argmax``), skipping the full-res lane-padded logits
         entirely.
         """
-        cfg = self.config
         if self.engine == "packed":
-            def resize_one(img, h, w):
-                return resize_bilinear_dynamic(
-                    img.astype(jnp.float32), h, w,
-                    cfg.in_height, cfg.in_width)
-
-            resized = jax.vmap(resize_one)(padded, heights, widths)
+            resized = self._resize_batch(padded, heights, widths)
             return self._packed.gathered_argmax(resized, ys, xs)
         maps = self._forward_impl(padded, heights, widths)
 

@@ -338,14 +338,24 @@ class Reader {
     auto be16 = [&](size_t at) -> uint16_t {
       return (uint16_t)(head[at] << 8 | head[at + 1]);
     };
-    while (true) {
-      if (pos + 10 >= head.size()) {
-        size_t grown = std::min<uint64_t>(size, head.size() + (1 << 16));
-        if (grown <= head.size()) return;
+    // grow the header buffer until byte index `need - 1` is readable;
+    // false when the strip genuinely ends first (malformed/truncated)
+    auto ensure = [&](size_t need) -> bool {
+      while (need > head.size()) {
+        size_t grown = std::min<uint64_t>(
+            size, std::max<uint64_t>(need, head.size() + (1 << 16)));
+        if (grown <= head.size()) return false;
         size_t old = head.size();
         head.resize(grown);
-        if (!read_at(base + old, grown - old, head.data() + old)) return;
+        if (!read_at(base + old, grown - old, head.data() + old)) {
+          head.resize(old);
+          return false;
+        }
       }
+      return true;
+    };
+    while (true) {
+      if (!ensure(pos + 10)) return;
       if (head[pos] != 0xFF) return;
       uint8_t marker = head[pos + 1];
       if (marker == 0xC0 || marker == 0xC1) {
@@ -353,6 +363,7 @@ class Reader {
         sof_h = be16(pos + 5);
         sof_w = be16(pos + 7);
         int ncomp = head[pos + 9];
+        if (!ensure(pos + 11 + 3 * (size_t)ncomp)) return;
         int hmax = 1, vmax = 1;
         for (int c = 0; c < ncomp; c++) {
           uint8_t samp = head[pos + 11 + 3 * c];
@@ -372,6 +383,7 @@ class Reader {
       } else if (marker == 0xDA) {
         uint16_t seg_len = be16(pos + 2);
         pos += 2 + seg_len;
+        if (!ensure(pos)) return;
         idx->headers.assign(head.begin(), head.begin() + pos);
         break;
       } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {

@@ -333,8 +333,9 @@ class _NdpiStripIndex:
         carry = b""
         file_pos = pos
         while file_pos < self._size:
-            data = carry + self._read(self._base + file_pos,
-                                      min(block, self._size - file_pos))
+            want = min(block, self._size - file_pos)
+            chunk = self._read(self._base + file_pos, want)
+            data = carry + chunk
             base = file_pos - len(carry)
             i = 0
             limit = len(data) - 1
@@ -353,6 +354,10 @@ class _NdpiStripIndex:
                     return
                 else:
                     i += 1 if m == 0x00 or m == 0xFF else 2
+            if len(chunk) < want:
+                # short read: StripByteCounts overstates the file (truncated
+                # slide) — stop instead of spinning on a non-advancing pos
+                break
             carry = data[-1:]
             file_pos = base + len(data)
         # no EOI: treat end of strip as final chunk end

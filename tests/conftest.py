@@ -21,12 +21,14 @@ import pytest
 
 # Some environments pre-initialize a TPU backend from sitecustomize before
 # this conftest runs; force the virtual CPU mesh at the config level.
-if any(d.platform != "cpu" for d in jax.devices()):
-    jax.config.update("jax_platforms", "cpu")
-    import jax.extend.backend as _jeb
+# Never PROBE the preselected backend first (jax.devices()): with the TPU
+# tunnel down the probe hangs or raises depending on the failure mode —
+# switching unconditionally is safe either way.
+jax.config.update("jax_platforms", "cpu")
+import jax.extend.backend as _jeb
 
-    _jeb.clear_backends()
-    jax.config.update("jax_num_cpu_devices", 8)
+_jeb.clear_backends()
+jax.config.update("jax_num_cpu_devices", 8)
 assert len(jax.devices()) >= 8, jax.devices()
 
 # Parity with the fp32 torch reference requires full-precision convolutions:

@@ -125,6 +125,18 @@ def test_e2e_multi_slide_accumulates_and_resumes(tmp_path,
     # resume: both slides are recorded as done
     done = FusedEndToEnd.prepare_output(str(out_dir), "OPT_PAS", resume=True)
     assert done == {p1, p2}
+
+    # an interrupt can land between the CSV append and the timing-log row:
+    # resume must sweep the orphan slide's rows (it will be rerun) while
+    # keeping completed slides' rows byte-identical
+    csv_path = out_dir / "OPT_PAS_GlomusMergedList_.csv"
+    before = csv_path.read_text()
+    with open(csv_path, "a") as f:
+        f.write(',H16-99999,"H16-99999.tiff",1,2,3,4,0.5\n')
+    done = FusedEndToEnd.prepare_output(str(out_dir), "OPT_PAS", resume=True)
+    assert done == {p1, p2}
+    assert csv_path.read_text() == before
+
     # fresh run truncates
     done = FusedEndToEnd.prepare_output(str(out_dir), "OPT_PAS")
     assert done == set()
