@@ -191,3 +191,44 @@ def test_open_slide_dispatch_on_ndpi_layout(ndpi_path):
         region = np.asarray(slide.read_region((32, 32), 0, (64, 64)))
         assert region.shape == (64, 64, 4)
         assert (region[:, :, 3] == 255).all()
+
+
+def test_scan_markers_terminates_on_short_reads():
+    """StripByteCounts overstating the file (truncated slide) previously
+    made the marker scan spin forever on a non-advancing read position;
+    it must terminate and mark the index unusable (ok=False -> the reader
+    falls back to whole-strip decode or fails loudly)."""
+    from glomeruli_segmentation_tpu.wsi.synthetic import encode_ndpi_strip
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import _NdpiStripIndex
+
+    img, _ = pas_like_image(128, 192, seed=1, n_glomeruli=1)
+    strip = encode_ndpi_strip(img)
+    short = strip[: len(strip) // 2]
+    idx = _NdpiStripIndex(lambda off, size: short[off: off + size],
+                          0, len(strip), 192, 128)
+    assert idx.ok is False
+
+
+def test_truncated_strip_terminates(tmp_path, native_slide_cls):
+    """A strip whose StripByteCounts overstates the file (truncated
+    download) must fail or degrade CLEANLY — the python marker scan
+    previously spun forever on the non-advancing read, and the native
+    header parse could read past its buffer."""
+    img, _ = pas_like_image(256, 384, seed=9, n_glomeruli=2)
+    path = str(tmp_path / "trunc.ndpi.tiff")
+    write_ndpi_like_tiff(path, img, levels=1, rows_per_chunk=1)
+    data = open(path, "rb").read()
+    # chop the tail of the entropy stream (keep the TIFF IFD, which the
+    # writer places at the head of this fixture, and the JPEG headers)
+    cut = len(data) - (len(data) // 4)
+    open(path, "wb").write(data[:cut])
+
+    for opener in (Slide, native_slide_cls):
+        try:
+            s = opener(path)
+            # index build may defer to the first read; either a clean
+            # exception or a best-effort decode is acceptable — a hang
+            # or a crash is not
+            s.read_region_array((0, 0), 0, (64, 64))
+        except Exception:
+            pass
