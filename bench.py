@@ -17,7 +17,7 @@ import os
 import sys
 import time
 
-BATCH = 128  # measured sweet spot on one v5e chip (fused path: 926 crops/s)
+BATCH = 128  # measured sweet spot on one v5e chip (~1007 crops/s, round 3)
 H, W = 512, 1024
 WARMUP = 2
 ITERS = 3

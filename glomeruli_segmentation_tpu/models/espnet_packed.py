@@ -178,7 +178,7 @@ class PackedEnsembleESPNet:
     def __init__(self, variable_trees: Sequence[Dict[str, Any]],
                  means: np.ndarray, stds: np.ndarray, classes: int = 5,
                  p: int = 2, q: int = 8, level3: str = "xla",
-                 level2: str = "xla",
+                 level2: str = "xla", level2_pack_taps: bool = False,
                  interpret: bool = False,
                  compute_dtype: str = "bfloat16",
                  accum_dtype: str = "float32",
@@ -193,6 +193,7 @@ class PackedEnsembleESPNet:
         self.p, self.q = p, q
         self.level3 = level3
         self.level2 = level2
+        self.level2_pack_taps = level2_pack_taps
         self.interpret = interpret
         self._template = nets[0]
         self.compute_dtype = jnp.dtype(compute_dtype)
@@ -399,13 +400,14 @@ class PackedEnsembleESPNet:
         maintained across the chain, so the pad/unpad copies happen once
         per level, not once per block."""
         interpret = self.interpret
+        pack_taps = self.level2_pack_taps
         c = x.shape[-1]
 
         def body(h, pack):
             w1, wd, scale, bias, alpha = pack
             h = _esp_dma_call(h, w1.astype(h.dtype), wd.astype(h.dtype),
                               scale, bias, alpha, add_residual=True,
-                              interpret=interpret, pack_taps=False)
+                              interpret=interpret, pack_taps=pack_taps)
             return h, None
 
         out, _ = jax.lax.scan(body, esp_pad_io(x), self.level2_kernel)
