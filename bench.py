@@ -161,7 +161,33 @@ def bench_e2e_extra() -> dict:
     return extra
 
 
+def _probe_backend(timeout_s: int = 300) -> None:
+    """Fail fast (non-zero exit) when the TPU backend is unreachable.
+
+    ``jax.devices()`` on the axon tunnel blocks indefinitely during an
+    outage; a bench run must produce a bounded, explicit failure instead
+    of hanging the driver.  The probe runs in a subprocess so the main
+    process never touches a dead backend."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() in ("", "cpu"):
+        return  # CPU runs initialize locally; nothing to probe
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        ok = r.returncode == 0
+        detail = (r.stderr or b"").decode(errors="replace")[-400:]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"device init exceeded {timeout_s}s"
+    if not ok:
+        print(json.dumps({"error": "TPU backend unreachable; bench "
+                                   "not run", "detail": detail}))
+        sys.exit(2)
+
+
 def main():
+    _probe_backend()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")

@@ -24,6 +24,37 @@ Layout
 __version__ = "0.1.0"
 
 
+def _apply_platform_override() -> None:
+    """Honor ``GSEG_PLATFORM`` (e.g. ``cpu``) at the jax *config* level.
+
+    Some deployments preselect a TPU platform from a ``sitecustomize``
+    that runs before user code, where the documented
+    ``JAX_PLATFORMS=cpu`` env override is silently ineffective — and with
+    the TPU tunnel unreachable every CLI would hang at first device use.
+    ``GSEG_PLATFORM=cpu`` forces the platform the way tests/conftest.py
+    does (config update + backend reset), which works regardless of what
+    the interpreter start-up preselected.  ``GSEG_CPU_DEVICES=N``
+    additionally requests N virtual CPU devices (for mesh runs off-TPU).
+    No-op when the variable is unset."""
+    import os
+
+    platform = os.environ.get("GSEG_PLATFORM")
+    if not platform:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+    try:
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+    except Exception:
+        pass  # nothing initialized yet
+    n = os.environ.get("GSEG_CPU_DEVICES")
+    if platform == "cpu" and n:
+        jax.config.update("jax_num_cpu_devices", int(n))
+
+
 def _configure_compilation_cache() -> None:
     """Point JAX at a persistent compilation cache unless the user already
     did.  TPU programs here compile through a remote AOT service where the
@@ -52,4 +83,5 @@ def _configure_compilation_cache() -> None:
         pass
 
 
+_apply_platform_override()
 _configure_compilation_cache()
