@@ -141,3 +141,48 @@ def test_e2e_multi_slide_accumulates_and_resumes(tmp_path,
     done = FusedEndToEnd.prepare_output(str(out_dir), "OPT_PAS")
     assert done == set()
     assert not (out_dir / "OPT_PAS_GlomusMergedList_.csv").exists()
+
+
+@pytest.mark.slow
+def test_e2e_cli_main(tmp_path, reference_models_dir, monkeypatch):
+    """The `gseg-e2e` console entry point end-to-end: argparse wiring ->
+    backend/ensemble construction (engine auto) -> target-list iteration ->
+    run_slide artifacts -> --resume skip.  The detector-model loading that
+    is bypassed here (deterministic BlobBackend) is covered by
+    test_detector_driver.py::test_train_save_detect_chain."""
+    slide_path, target_list, patient = _make_slide(tmp_path,
+                                                   patient="H16-77777")
+    import glomeruli_segmentation_tpu.cli.detect as cli_detect
+    from glomeruli_segmentation_tpu.cli.e2e import main as e2e_main
+
+    monkeypatch.setattr(cli_detect, "load_backend",
+                        lambda *a, **k: BlobBackend())
+    out_dir = tmp_path / "cli_out"
+    argv = [
+        "--model", "unused-by-blob-backend",
+        "--target_list", str(target_list),
+        "--data_dir", str(tmp_path / "data"),
+        "--staining", "OPT_PAS",
+        "--output_dir", str(out_dir),
+        "--segmentation_weights_dir", str(reference_models_dir),
+        "--folds", "1",
+        "--window_size", "100", "--overlap_ratio", "0.5",
+        "--conf_threshold", "0.5", "--merge_conf_threshold", "0.9",
+        "--seg_batch_size", "2",
+        "--precision", "highest",
+    ]
+    e2e_main(argv)
+
+    csv_path = out_dir / "OPT_PAS_GlomusMergedList_.csv"
+    rows = csv_path.read_text().strip().splitlines()
+    assert rows and all(f'"{patient}.tiff"' in r for r in rows)
+    jsons = glob.glob(str(out_dir / "json" / patient / "*.json"))
+    assert len(jsons) == len(rows)
+    assert (out_dir / f"{patient}_pred.jpg").exists()
+    log = (out_dir / "OPT_PAS_GlomusMergedList__log.csv").read_text()
+    assert patient in log
+
+    # --resume: the completed slide is skipped, artifacts untouched
+    before = csv_path.read_text()
+    e2e_main(argv + ["--resume"])
+    assert csv_path.read_text() == before
