@@ -186,3 +186,84 @@ def test_full_downstream_pipeline(pipeline_tree, reference_models_dir):
     # GT stitching should reproduce the circle: overall acc in the slide row
     overall_acc = float(tsv[0].split("\t")[1])
     assert 0.0 < overall_acc <= 1.0
+
+
+@pytest.mark.slow
+def test_cli_mains_chain(pipeline_tree, reference_models_dir):
+    """Drive the public console entry points (merge -> make_seg_data ->
+    segment -> eval_wsi) through their ``main(argv)`` functions: the
+    reference-mirrored flag names are the compatibility contract
+    (README CLI table), so a dest/flag mismatch must fail a test even
+    when the programmatic API (covered above) is healthy.  Dispatch rule
+    parity: GT-mode eval requires all three GT dirs, exactly as
+    ``module/espnet/test/eval_wsi_segmentation.py:429-433``."""
+    from glomeruli_segmentation_tpu.cli.eval_wsi import main as eval_main
+    from glomeruli_segmentation_tpu.cli.make_seg_data import (
+        main as make_seg_main,
+    )
+    from glomeruli_segmentation_tpu.cli.merge import main as merge_main
+    from glomeruli_segmentation_tpu.cli.segment import main as segment_main
+
+    t = pipeline_tree
+    root = t["root"]
+    out = root / "cli_chain"
+
+    merge_main([
+        "--staining", "OPT_PAS",
+        "--detected_list", str(t["detect_csv"]),
+        "--data_dir", str(t["data_dir"]),
+        "--output_dir", str(out),
+        "--output_file_ext", "cli",
+        "--conf_threshold", "0.9",
+        "--overlap_threshold", "0.35",
+        "--target_list", str(t["target_list"]),
+    ])
+    merged_csv = out / "OPT_PAS_GlomusMergedList_cli.csv"
+    assert len(merged_csv.read_text().strip().splitlines()) >= 2
+
+    seg_out = out / "seg_data"
+    make_seg_main([
+        "--staining", "OPT_PAS",
+        "--merged_detection_result_csv", str(merged_csv),
+        "--target_list", str(t["target_list"]),
+        "--wsi_dir", str(t["wsi_dir"]),
+        "--segmentation_gt_json_dir", str(root / "seg_annotation"),
+        "--object_detection_gt_xml_dir", str(t["data_dir"]),
+        "--output_dir", str(seg_out),
+    ])
+    crops = sorted((seg_out / "org_image" / PATIENT).glob("*.PNG"))
+    labels = sorted((seg_out / "label" / "all" / PATIENT).glob("*.PNG"))
+    assert crops and len(labels) == len(crops)
+
+    pred_dir = out / "pred"
+    segment_main([
+        "--rgb_data_dir", str(seg_out / "org_image"),
+        "--label_data_dir", str(seg_out / "label" / "all"),
+        "--savedir", str(pred_dir),
+        "--weights", str(reference_models_dir / "espnet_fold1.pth"),
+        # eval_wsi consumes class-map imageData (the reference example's
+        # VisualizeResults_iou_pixel.py variant, example/README.md:77)
+        "--decoder", "--cityFormat", "--json_image_data", "classmap",
+        "--mean", *[str(m) for m in FOLD1_MEAN],
+        "--std", *[str(s) for s in FOLD1_STD],
+        "--batch_size", "2",
+    ])
+    assert sorted((pred_dir / PATIENT).glob("*.json"))
+
+    tsv = out / "seg_data_output.tsv"
+    eval_main([
+        "--staining", "OPT_PAS",
+        "--merged_detection_result_csv", str(merged_csv),
+        "--target_list", str(t["target_list"]),
+        "--wsi_dir", str(t["wsi_dir"]),
+        "--segmentation_pred_json_dir", str(pred_dir),
+        "--object_detection_gt_xml_dir", str(t["data_dir"]),
+        "--segmentation_gt_json_dir", str(root / "seg_annotation"),
+        "--segmentation_gt_png_dir", str(seg_out / "label" / "all"),
+        "--output_file", str(tsv),
+        "--output_dir", str(out / "wsi"),
+        "--window_size", "600",
+    ])
+    rows = tsv.read_text().splitlines()
+    assert len(rows) == 2 and rows[1].startswith("total\t")
+    assert (out / "wsi" / f"{PATIENT}_pred.jpg").exists()
