@@ -28,6 +28,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no_save", action="store_true")
     parser.add_argument("--classes", type=int, default=5)
     parser.add_argument("--fix_window_bug", action="store_true")
+    parser.add_argument("--evaluate", action="store_true",
+                        help="run the GT evaluation path (scan_files: "
+                             "stitched GT + IoU/Dice TSV).  The reference "
+                             "ships this code but leaves the call commented "
+                             "out, running generate_pred_wsi in both "
+                             "branches (module/SegFormer/test/"
+                             "eval_wsi_segmentation_gtcs.py:469-477); the "
+                             "default preserves that behavior")
     return parser
 
 
@@ -40,7 +48,11 @@ def main(argv=None):
         args.classes, args.no_save, args.start, args.end,
         compat_window_bug=not args.fix_window_bug)
     evaluator.read_detected_glomus_list()
-    evaluator.generate_pred_wsi()
+    if (args.evaluate and args.seg_gt_image_dir
+            and args.seg_pred_image_dir):
+        evaluator.scan_files()
+    else:
+        evaluator.generate_pred_wsi()
 
 
 if __name__ == "__main__":

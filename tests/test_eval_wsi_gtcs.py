@@ -90,3 +90,33 @@ def test_generate_pred_wsi_mode(gtcs_tree):
     ev.generate_pred_wsi()
     lines = (gtcs_tree / "out" / "pred.tsv").read_text().splitlines()
     assert lines[-1].startswith("total\t")
+
+
+def test_cli_main_default_and_evaluate_modes(gtcs_tree):
+    """The console entry point: default mirrors the reference (always
+    generate_pred_wsi — the reference comments out its own scan_files
+    call, eval_wsi_segmentation_gtcs.py:469-477); --evaluate unlocks the
+    implemented GT path."""
+    from glomeruli_segmentation_tpu.cli.eval_wsi_gtcs import main
+
+    root = gtcs_tree
+    base = [
+        "--staining", "OPT_PAS",
+        "--merged_detection_result_csv", str(root / "merged.csv"),
+        "--target_list", str(root / "targets.txt"),
+        "--wsi_dir", str(root / "wsi"),
+        "--seg_pred_image_dir", str(root / "pred"),
+        "--seg_gt_image_dir", str(root / "gt"),
+        "--output_dir", str(root / "cli_out"),
+        "--window_size", "600",
+    ]
+    main(base + ["--output_file", "cli_default.tsv"])
+    pred_rows = (root / "cli_out" / "cli_default.tsv").read_text().splitlines()
+    assert pred_rows[-1].startswith("total\t")
+
+    main(base + ["--output_file", "cli_eval.tsv", "--evaluate"])
+    rows = (root / "cli_out" / "cli_eval.tsv").read_text().splitlines()
+    assert rows[-1].startswith("total\t")
+    assert len(rows[-1].split("\t")) == 7  # incl. per-class Dice + mDice
+    assert float(rows[-1].split("\t")[1]) > 0.999
+    assert (root / "cli_out" / f"{PATIENT}_gt.jpg").exists()
