@@ -78,3 +78,32 @@ def test_warmup_cli(reference_models_dir):
 
     main(["--segmentation_weights_dir", str(reference_models_dir),
           "--folds", "1", "--seg_batch_size", "2", "--buckets", "256"])
+
+
+def test_create_dataset_txt_cli(tmp_path):
+    """gseg-create-dataset-txt main: pairs rgb with label paths by path
+    surgery (ref module/espnet/train/create_dataset_txt.py:6-47)."""
+    from glomeruli_segmentation_tpu.cli.create_dataset_txt import main
+
+    for split in ("train", "val"):
+        (tmp_path / split / "rgb" / "p1").mkdir(parents=True)
+        (tmp_path / split / "label" / "p1").mkdir(parents=True)
+        (tmp_path / split / "rgb" / "p1" / "a.PNG").write_bytes(b"x")
+    main(["--data_dir", str(tmp_path)])
+    for split in ("train", "val"):
+        line = (tmp_path / f"{split}.txt").read_text().strip()
+        rgb, label = line.split(",")
+        assert rgb.endswith(f"{split}/rgb/p1/a.PNG")
+        assert label.endswith(f"{split}/label/p1/a.PNG")
+
+
+def test_train_detector_parser_contract():
+    """gseg-train-detector flag surface stays wired to main's dests."""
+    from glomeruli_segmentation_tpu.cli.train_detector import build_parser
+
+    args = build_parser().parse_args([
+        "--data_dir", "d", "--target_list", "t", "--output_dir", "o",
+        "--steps", "5", "--image_size", "128", "--backbone", "tiny"])
+    assert (args.data_dir, args.target_list, args.output_dir) == ("d", "t", "o")
+    assert args.steps == 5 and args.image_size == 128
+    assert args.backbone == "tiny" and args.staining == "OPT_PAS"
