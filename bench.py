@@ -168,13 +168,19 @@ def _probe_backend(timeout_s: int = 300) -> None:
     outage; a bench run must produce a bounded, explicit failure instead
     of hanging the driver.  The probe runs in a subprocess so the main
     process never touches a dead backend."""
-    if os.environ.get("JAX_PLATFORMS", "").lower() in ("", "cpu"):
+    effective = (os.environ.get("GSEG_PLATFORM")
+                 or os.environ.get("JAX_PLATFORMS", "")).lower()
+    if effective == "cpu":
         return  # CPU runs initialize locally; nothing to probe
     import subprocess
 
     try:
+        # mirror the bench's own init: importing the package applies the
+        # GSEG_PLATFORM override before the first device use, so the
+        # probe exercises the backend the bench will actually run on
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import glomeruli_segmentation_tpu, jax; jax.devices()"],
             timeout=timeout_s, capture_output=True)
         ok = r.returncode == 0
         detail = (r.stderr or b"").decode(errors="replace")[-400:]

@@ -48,11 +48,16 @@ def _apply_platform_override() -> None:
         import jax.extend.backend as _jeb
 
         _jeb.clear_backends()
-    except Exception:
-        pass  # nothing initialized yet
+    except (ImportError, AttributeError):
+        pass  # older jax without the reset API; nothing initialized yet
     n = os.environ.get("GSEG_CPU_DEVICES")
     if platform == "cpu" and n:
-        jax.config.update("jax_num_cpu_devices", int(n))
+        try:
+            count = int(n)
+        except ValueError:
+            raise ValueError(
+                f"GSEG_CPU_DEVICES must be an integer, got {n!r}") from None
+        jax.config.update("jax_num_cpu_devices", count)
 
 
 def _configure_compilation_cache() -> None:

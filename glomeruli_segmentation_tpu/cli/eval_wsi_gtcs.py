@@ -40,7 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.evaluate and not args.seg_gt_image_dir:
+        parser.error("--evaluate requires --seg_gt_image_dir")
     evaluator = GtcsWsiEvaluator(
         args.staining, args.ob_gt_xml_dir, args.target_list, args.input_csv,
         args.iou_threshold, args.output_file, args.output_dir, args.wsi_dir,
@@ -48,8 +51,7 @@ def main(argv=None):
         args.classes, args.no_save, args.start, args.end,
         compat_window_bug=not args.fix_window_bug)
     evaluator.read_detected_glomus_list()
-    if (args.evaluate and args.seg_gt_image_dir
-            and args.seg_pred_image_dir):
+    if args.evaluate:
         evaluator.scan_files()
     else:
         evaluator.generate_pred_wsi()

@@ -1,12 +1,13 @@
 """GSEG_PLATFORM forces the jax platform at package-import time.
 
 The deployment image preselects a TPU platform from a ``sitecustomize``
-that runs before user code; the plain ``JAX_PLATFORMS=cpu`` env override
-is ineffective there, and with the TPU tunnel unreachable every CLI hangs
-at first device use.  ``glomeruli_segmentation_tpu.__init__`` therefore
-honors ``GSEG_PLATFORM`` (+ ``GSEG_CPU_DEVICES``) with a config-level
-switch.  Runs in a subprocess so the preselected platform (whatever it
-is in this environment) is actually exercised.
+that runs before user code, where the plain ``JAX_PLATFORMS=cpu`` env
+override is ineffective and — with the TPU tunnel unreachable — every
+CLI hangs at first device use.  ``glomeruli_segmentation_tpu.__init__``
+therefore honors ``GSEG_PLATFORM`` (+ ``GSEG_CPU_DEVICES``) with a
+config-level switch.  Runs in a subprocess with the TPU platform
+explicitly preselected via env, so the override (config update beats the
+env-var default) is what the assertion actually exercises.
 """
 import os
 import subprocess
@@ -22,10 +23,18 @@ print("OK", len(devs))
 """
 
 
-def test_gseg_platform_forces_cpu_with_virtual_devices():
+def _child_env(**extra):
     env = dict(os.environ)
-    env["GSEG_PLATFORM"] = "cpu"
-    env["GSEG_CPU_DEVICES"] = "4"
+    # conftest forces JAX_PLATFORMS=cpu for the suite; restore the
+    # preselected-TPU scenario the override exists for (config-level
+    # update must beat the env-var platform default)
+    env["JAX_PLATFORMS"] = "axon"
+    env.update(extra)
+    return env
+
+
+def test_gseg_platform_forces_cpu_with_virtual_devices():
+    env = _child_env(GSEG_PLATFORM="cpu", GSEG_CPU_DEVICES="4")
     # a hung backend dial would block forever without the override; bound it
     r = subprocess.run([sys.executable, "-c", SCRIPT], env=env,
                        capture_output=True, text=True, timeout=240)
@@ -33,9 +42,22 @@ def test_gseg_platform_forces_cpu_with_virtual_devices():
     assert "OK 4" in r.stdout
 
 
-def test_no_override_is_a_noop():
+def test_malformed_device_count_fails_with_clear_message():
+    env = _child_env(GSEG_PLATFORM="cpu", GSEG_CPU_DEVICES="eight")
+    r = subprocess.run(
+        [sys.executable, "-c", "import glomeruli_segmentation_tpu"],
+        env=env, capture_output=True, text=True, timeout=240)
+    assert r.returncode != 0
+    assert "GSEG_CPU_DEVICES must be an integer" in r.stderr
+
+
+def test_no_override_is_a_noop(monkeypatch):
     # without GSEG_PLATFORM the hook must not touch jax config at all
+    import jax
+
     import glomeruli_segmentation_tpu as pkg
 
-    os.environ.pop("GSEG_PLATFORM", None)
-    pkg._apply_platform_override()  # must not raise or reset backends
+    monkeypatch.delenv("GSEG_PLATFORM", raising=False)
+    before = jax.config.jax_platforms
+    pkg._apply_platform_override()
+    assert jax.config.jax_platforms == before
