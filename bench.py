@@ -145,6 +145,7 @@ def bench_e2e_extra() -> dict:
             seg.get("sec_per_slide_host_resize"),
         "fused_5fold_crops_per_sec_host_resize":
             seg.get("crops_per_sec_host_resize"),
+        "fused_engine": seg.get("engine"),
         "fused_breakdown": seg.get("breakdown"),
         "segformer_crops_per_sec": sf.get("crops_per_sec"),
     }

@@ -180,6 +180,7 @@ def bench_fused_segmentation(slide_path: str, centers) -> dict:
 
     return {
         "metric": "fused_5fold_segmentation",
+        "engine": ensemble.engine,  # what "auto" resolved to at this batch
         "crops": len(detections),
         "sec_per_slide": round(dt, 3),
         "crops_per_sec": round(len(detections) / dt, 2),
