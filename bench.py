@@ -139,6 +139,7 @@ def bench_e2e_extra() -> dict:
     extra = {
         "detection_windows_per_sec": det.get("windows_per_sec"),
         "detection_sec_per_slide": det.get("sec_per_slide"),
+        "detection_breakdown": det.get("breakdown"),
         "fused_5fold_sec_per_slide": seg.get("sec_per_slide"),
         "fused_5fold_crops_per_sec": seg.get("crops_per_sec"),
         "fused_5fold_sec_per_slide_host_resize":
