@@ -74,6 +74,24 @@ def load_backend(model_dir: str, model_name: str, batch_size: int,
         return JaxDetectorBackend(variables, config, batch_size,
                                   data_parallel=data_parallel)
 
+    od_ckpt = os.path.join(model_dir, "od_api_detector.ckpt.pth")
+    if os.path.isfile(od_ckpt):
+        # natively fine-tuned OD-API weights (train/od_api_finetune.py);
+        # architecture constants saved at training time are defaults, CLI
+        # overrides win
+        from ..pipeline.detect import ODAPIDetectorBackend
+        from ..train.od_api_finetune import load_od_api_checkpoint
+
+        params, num_classes, saved = load_od_api_checkpoint(od_ckpt)
+        arch_keys = ("stride", "anchor_scales", "anchor_aspects",
+                     "anchor_base", "initial_crop_size")
+        merged = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in saved.items() if k in arch_keys}
+        merged.update(od_api_overrides or {})
+        return ODAPIDetectorBackend(params=params, num_classes=num_classes,
+                                    batch_size=batch_size,
+                                    data_parallel=data_parallel, **merged)
+
     pb_path = os.path.join(model_dir, model_name)
     if os.path.isfile(pb_path):
         # the reference's downloaded OD-API export (example/README.md:20-24):

@@ -22,6 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--backbone", default="resnet50",
                         choices=["resnet50", "tiny"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--finetune_pb", default=None,
+                        help="fine-tune the reference's downloaded OD-API "
+                             "frozen graph (frozen_inference_graph.pb) "
+                             "instead of training the native detector; "
+                             "saves od_api_detector.ckpt.pth")
     return parser
 
 
@@ -33,6 +38,14 @@ def main(argv=None):
     config = DetectorTrainConfig(
         image_size=args.image_size, batch_size=args.batch_size,
         steps=args.steps, lr=args.lr, seed=args.seed)
+    if args.finetune_pb:
+        from ..train.od_api_finetune import finetune_od_api
+
+        path = finetune_od_api(args.staining, args.data_dir,
+                               args.target_list, args.output_dir, config,
+                               pb_path=args.finetune_pb)
+        print(f"saved {path}")
+        return
     model_config = FasterRCNNConfig(
         image_size=(args.image_size, args.image_size),
         backbone=args.backbone)

@@ -112,11 +112,15 @@ class ODAPIFasterRCNN:
                                       -(-w // config.stride), config)
 
     # ------------- stages -------------
-    def _first_stage(self, images: jax.Array):
+    # every stage takes an optional ``params`` override so a jitted
+    # training step can thread the parameter tree as a traced argument
+    # (fine-tuning, see train/od_api_finetune.py); inference uses the
+    # baked self.params
+    def _first_stage(self, images: jax.Array, params=None):
         """uint8/float RGB images -> (feats, objectness, deltas)."""
+        p = self.params if params is None else params
         x = images.astype(self.compute_dtype) * (2.0 / 255.0) - 1.0
-        feats = proposal_features(self.params["first"], x)
-        p = self.params
+        feats = proposal_features(p["first"], x)
         rpn = conv_same(feats, p["rpn_conv"]["w"], p["rpn_conv"]["b"],
                         relu=False)
         rpn = jnp.minimum(jax.nn.relu(rpn), 6.0)  # tf.nn.relu6
@@ -148,10 +152,12 @@ class ODAPIFasterRCNN:
 
         return jax.vmap(one)(obj, deltas)
 
-    def _box_classifier(self, feats: jax.Array, proposals: jax.Array):
+    def _box_classifier(self, feats: jax.Array, proposals: jax.Array,
+                        params=None):
         """Crop + Mixed_5 head + FC predictors.
 
         proposals are absolute pixel coords (padded rows are zeros)."""
+        pp = self.params if params is None else params
         cfg = self.config
         h, w = cfg.image_size
         norm = proposals / jnp.asarray([h, w, h, w], jnp.float32)
@@ -165,13 +171,31 @@ class ODAPIFasterRCNN:
         roi = jax.vmap(crop_one)(feats, norm)  # (B, P, 7, 7, C)
         n, p = roi.shape[:2]
         flat = roi.reshape((n * p,) + roi.shape[2:])
-        head = classifier_features(self.params["second"], flat)
+        head = classifier_features(pp["second"], flat)
         pooled = head.mean(axis=(1, 2)).astype(jnp.float32)  # (B*P, C)
-        fc_box, fc_cls = self.params["fc_box"], self.params["fc_cls"]
+        fc_box, fc_cls = pp["fc_box"], pp["fc_cls"]
         box_enc = pooled @ fc_box["w"] + fc_box["b"]
         cls_logits = pooled @ fc_cls["w"] + fc_cls["b"]
         return (cls_logits.reshape(n, p, -1),
                 box_enc.reshape(n, p, cfg.num_classes, 4))
+
+    def train_outputs(self, images: jax.Array, params=None):
+        """Both stages' raw outputs in the contract
+        :func:`..train.detector_train.detector_loss` consumes — the same
+        two-stage losses the TF OD API trained the downloaded graph with
+        (the reference's detector training lived in the companion
+        glomeruli_detection repo, SURVEY.md §0).  ``params`` is threaded
+        explicitly so jitted steps differentiate w.r.t. it; BN is folded
+        at import, so fine-tuning updates the folded conv scale/shift
+        with frozen normalization statistics."""
+        feats, obj, deltas = self._first_stage(images, params)
+        proposals, prop_scores = self._propose(obj, deltas)
+        # two-stage convention: no gradient through proposal generation
+        proposals = jax.lax.stop_gradient(proposals)
+        cls_logits, box_enc = self._box_classifier(feats, proposals, params)
+        return {"rpn_objectness": obj, "rpn_deltas": deltas,
+                "proposals": proposals, "proposal_scores": prop_scores,
+                "class_scores": cls_logits, "box_deltas": box_enc}
 
     def detect(self, images: jax.Array):
         """Frozen-graph output contract (detect_glomus_test.py:443-450)."""

@@ -201,7 +201,8 @@ class ODAPIDetectorBackend(DetectorBackend):
 
     def __init__(self, pb_path: Optional[str] = None, batch_size: int = 8,
                  compute_dtype: str = "bfloat16", data_parallel: int = 0,
-                 consts=None, device_resize: bool = False,
+                 consts=None, params=None, num_classes: Optional[int] = None,
+                 device_resize: bool = False,
                  compat_tf1_resize: bool = True,
                  **config_overrides):
         from ..convert.pb_import import (
@@ -209,7 +210,11 @@ class ODAPIDetectorBackend(DetectorBackend):
             load_od_api_detector_params,
         )
 
-        if consts is not None:
+        if params is not None:
+            # already-assembled tree (a fine-tuned od_api_detector.ckpt.pth)
+            assert num_classes is not None, "params requires num_classes"
+            self.params, self.num_classes = params, num_classes
+        elif consts is not None:
             # pre-extracted constant dict (tests/benches synthesize OD-API
             # layouts without writing a .pb file)
             self.params, self.num_classes = assemble_od_api_params(consts)
