@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--backbone", default="resnet50",
                         choices=["resnet50", "tiny"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard window batches over an N-device mesh "
+                             "(0 = off, -1 = all devices); params and "
+                             "optimizer state replicate")
     parser.add_argument("--finetune_pb", default=None,
                         help="fine-tune the reference's downloaded OD-API "
                              "frozen graph (frozen_inference_graph.pb) "
@@ -43,14 +47,16 @@ def main(argv=None):
 
         path = finetune_od_api(args.staining, args.data_dir,
                                args.target_list, args.output_dir, config,
-                               pb_path=args.finetune_pb)
+                               pb_path=args.finetune_pb,
+                               data_parallel=args.data_parallel)
         print(f"saved {path}")
         return
     model_config = FasterRCNNConfig(
         image_size=(args.image_size, args.image_size),
         backbone=args.backbone)
     path = train_detector(args.staining, args.data_dir, args.target_list,
-                          args.output_dir, config, model_config)
+                          args.output_dir, config, model_config,
+                          data_parallel=args.data_parallel)
     print(f"saved {path}")
 
 

@@ -131,11 +131,45 @@ class SlideWindowSampler:
         return images, gt_boxes, gt_classes, gt_valid
 
 
+def _jit_detector_step(step, n_state: int, n_batch: int,
+                       data_parallel: int, batch_size: int):
+    """jit a detector training step, optionally data-parallel: the first
+    ``n_state`` args (params/optimizer state) replicate over the mesh,
+    the trailing ``n_batch`` args shard on their leading (batch) axis,
+    and every output replicates (scalar losses; state updates are
+    reduced by GSPMD over ICI).  Returns (jitted_step, batch_sharding)
+    — ``batch_sharding`` is None off-mesh."""
+    import jax
+
+    if not data_parallel:
+        return jax.jit(step), None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(None if data_parallel < 0 else data_parallel)
+    d = mesh.shape["data"]
+    if batch_size % d:
+        raise ValueError(f"batch_size {batch_size} must be a multiple of "
+                         f"the data-axis size {d}")
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(step,
+                     in_shardings=(repl,) * n_state + (data,) * n_batch,
+                     out_shardings=repl)
+    return jitted, data
+
+
 def train_detector(staining: str, data_dir: str, target_list: str,
                    output_dir: str,
                    config: Optional[DetectorTrainConfig] = None,
-                   model_config=None, log_every: int = 50) -> str:
-    """Train and save ``detector.ckpt.pth``; returns its path."""
+                   model_config=None, log_every: int = 50,
+                   data_parallel: int = 0) -> str:
+    """Train and save ``detector.ckpt.pth``; returns its path.
+
+    ``data_parallel=N`` shards the window batch over an N-device mesh
+    (params/optimizer replicated; GSPMD inserts the gradient reduction
+    over ICI) — the reference trains single-GPU (SURVEY.md §2.11)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -164,7 +198,6 @@ def train_detector(staining: str, data_dir: str, target_list: str,
     tx = optax.adam(config.lr)
     opt_state = tx.init(params)
 
-    @jax.jit
     def step(params, batch_stats, opt_state, x, gb, gc, gv):
         def loss_fn(p):
             out, upd = model.apply(
@@ -179,12 +212,18 @@ def train_detector(staining: str, data_dir: str, target_list: str,
         return (optax.apply_updates(params, updates), new_stats, opt_state,
                 losses)
 
+    step, batch_sharding = _jit_detector_step(
+        step, n_state=3, n_batch=4, data_parallel=data_parallel,
+        batch_size=config.batch_size)
+
     for i in range(config.steps):
         x, gb, gc, gv = sampler.sample_batch(rng)
         params, batch_stats, opt_state, losses = step(
             params, batch_stats, opt_state,
-            jax.device_put(np.asarray(x, np.float32)), jax.device_put(gb),
-            jax.device_put(gc), jax.device_put(gv))
+            jax.device_put(np.asarray(x, np.float32), batch_sharding),
+            jax.device_put(gb, batch_sharding),
+            jax.device_put(gc, batch_sharding),
+            jax.device_put(gv, batch_sharding))
         if i % log_every == 0:
             print(f"step {i}: " + ", ".join(
                 f"{k}={float(v):.4f}" for k, v in losses.items()))

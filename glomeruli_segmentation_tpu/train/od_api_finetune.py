@@ -39,7 +39,7 @@ def finetune_od_api(staining: str, data_dir: str, target_list: str,
                     consts=None, params=None,
                     num_classes: Optional[int] = None,
                     od_config_overrides: Optional[dict] = None,
-                    log_every: int = 50) -> str:
+                    log_every: int = 50, data_parallel: int = 0) -> str:
     """Fine-tune OD-API weights on annotated slides; returns the saved
     checkpoint path.  Initial weights come from ``pb_path`` (a downloaded
     frozen graph), ``consts`` (pre-extracted constants), or ``params``
@@ -83,7 +83,6 @@ def finetune_od_api(staining: str, data_dir: str, target_list: str,
     train_params = jax.tree.map(jnp.asarray, params)
     opt_state = tx.init(train_params)
 
-    @jax.jit
     def step(p, opt_state, x, gb, gc, gv):
         def loss_fn(pp):
             out = model.train_outputs(x, params=pp)
@@ -95,12 +94,20 @@ def finetune_od_api(staining: str, data_dir: str, target_list: str,
         updates, opt_state2 = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state2, losses
 
+    from .detector_driver import _jit_detector_step
+
+    step, batch_sharding = _jit_detector_step(
+        step, n_state=2, n_batch=4, data_parallel=data_parallel,
+        batch_size=config.batch_size)
+
     for i in range(config.steps):
         x, gb, gc, gv = sampler.sample_batch(rng)
         train_params, opt_state, losses = step(
             train_params, opt_state,
-            jax.device_put(np.asarray(x, np.float32)),
-            jax.device_put(gb), jax.device_put(gc), jax.device_put(gv))
+            jax.device_put(np.asarray(x, np.float32), batch_sharding),
+            jax.device_put(gb, batch_sharding),
+            jax.device_put(gc, batch_sharding),
+            jax.device_put(gv, batch_sharding))
         if i % log_every == 0:
             print(f"step {i}: " + ", ".join(
                 f"{k}={float(v):.4f}" for k, v in losses.items()))

@@ -93,3 +93,74 @@ def test_train_save_detect_chain(annotated_tree, tmp_path):
         parts = row.split(",")
         assert parts[1] == f'"{PATIENT}"'
         assert float(parts[9]) >= 0.05
+
+
+@pytest.mark.slow
+def test_data_parallel_grads_match_single_device(annotated_tree):
+    """--data_parallel correctness at the gradient level: the sharded jit
+    (params replicated, window batch split over a 4-device mesh) must
+    produce the same loss and gradients as the unsharded jit on the same
+    batch.  Gradients discriminate real DP bugs (dropped shards, missing
+    mean) that end-to-end Adam trajectories hide — Adam's normalization
+    amplifies benign reduction-order noise to O(lr) while erasing scale
+    errors."""
+    import jax
+    import jax.numpy as jnp
+
+    from glomeruli_segmentation_tpu.models.faster_rcnn import (
+        FasterRCNN,
+        build_anchors,
+    )
+    from glomeruli_segmentation_tpu.train.detector_driver import (
+        _jit_detector_step,
+    )
+    from glomeruli_segmentation_tpu.train.detector_train import detector_loss
+
+    cfg = DetectorTrainConfig(image_size=128, batch_size=4, max_gt=8)
+    model_config = FasterRCNNConfig(
+        image_size=(128, 128), backbone="tiny",
+        anchor_scales=(0.25, 0.5), anchor_aspects=(1.0,), anchor_base=128.0,
+        pre_nms_top_n=128, post_nms_top_n=16, crop_size=8, max_detections=8)
+    sampler = SlideWindowSampler("OPT_PAS", str(annotated_tree / "data"),
+                                 str(annotated_tree / "targets.txt"), cfg)
+    x, gb, gc, gv = sampler.sample_batch(np.random.default_rng(1))
+    x = np.asarray(x, np.float32)
+
+    model = FasterRCNN(model_config)
+    anchors = build_anchors(model_config)
+    variables = model.init(jax.random.key(0), jnp.asarray(x), anchors,
+                           train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    # grads of the RPN losses with BN in inference mode: continuous and
+    # well-conditioned, so sharded == unsharded holds tightly and a real
+    # DP bug (dropped shard, missing mean) is unambiguous.  Train-mode
+    # BN over a 4-sample batch at random init is too ill-conditioned for
+    # an equality assertion — even eager-vs-jit on ONE device moves these
+    # grads by ~1e-3 (measured), and NMS top-k makes the ROI-loss path
+    # discretely schedule-sensitive on top; the DP reduction being
+    # verified here is identical in either BN mode.
+    def grad_step(params, batch_stats, x, gb, gc, gv):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, anchors,
+                train=False)
+            losses = detector_loss(anchors, out, gb, gc, gv)
+            return losses["rpn_cls"] + losses["rpn_reg"]
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    single, _ = _jit_detector_step(grad_step, n_state=2, n_batch=4,
+                                   data_parallel=0, batch_size=4)
+    sharded, bsh = _jit_detector_step(grad_step, n_state=2, n_batch=4,
+                                      data_parallel=4, batch_size=4)
+    loss_s, grads_s = single(params, batch_stats, x, gb, gc, gv)
+    loss_d, grads_d = sharded(
+        params, batch_stats,
+        jax.device_put(x, bsh), jax.device_put(gb, bsh),
+        jax.device_put(gc, bsh), jax.device_put(gv, bsh))
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_s),
+                    jax.tree_util.tree_leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

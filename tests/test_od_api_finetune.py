@@ -95,3 +95,60 @@ def test_finetune_updates_params_and_roundtrips(annotated_tree, tmp_path):
         np.zeros((2, 128, 128, 3), np.uint8))
     assert boxes.shape == (2, 100, 4) and scores.shape == (2, 100)
     assert np.isfinite(scores).all()
+
+
+@pytest.mark.slow
+def test_finetune_data_parallel_grads_match_single_device(annotated_tree):
+    """Same gradient-level DP equivalence for the OD-API fine-tune step
+    (see test_detector_driver.py for why gradients, not Adam
+    trajectories, are compared)."""
+    import jax
+
+    from glomeruli_segmentation_tpu.convert.pb_import import (
+        assemble_od_api_params,
+    )
+    from glomeruli_segmentation_tpu.models.od_api_frcnn import (
+        ODAPIConfig,
+        ODAPIFasterRCNN,
+    )
+    from glomeruli_segmentation_tpu.train.detector_driver import (
+        DetectorTrainConfig,
+        SlideWindowSampler,
+        _jit_detector_step,
+    )
+    from glomeruli_segmentation_tpu.train.detector_train import detector_loss
+
+    consts, _, _ = build_od_api_consts(seed=5)
+    params, num_classes = assemble_od_api_params(consts)
+    cfg = DetectorTrainConfig(image_size=128, batch_size=4, max_gt=8)
+    od_cfg = ODAPIConfig(num_classes=num_classes, image_size=(128, 128),
+                         anchor_base=64.0, max_proposals=16,
+                         pre_nms_top_n=256)
+    model = ODAPIFasterRCNN(params, od_cfg, compute_dtype="float32")
+    sampler = SlideWindowSampler("OPT_PAS", str(annotated_tree / "data"),
+                                 str(annotated_tree / "targets.txt"), cfg)
+    x, gb, gc, gv = sampler.sample_batch(np.random.default_rng(2))
+    x = np.asarray(x, np.float32)
+
+    def grad_step(p, x, gb, gc, gv):
+        def loss_fn(pp):
+            out = model.train_outputs(x, params=pp)
+            return detector_loss(model.anchors, out, gb, gc, gv)["total"]
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    single, _ = _jit_detector_step(grad_step, n_state=1, n_batch=4,
+                                   data_parallel=0, batch_size=4)
+    sharded, bsh = _jit_detector_step(grad_step, n_state=1, n_batch=4,
+                                      data_parallel=4, batch_size=4)
+    jp = jax.tree.map(jax.numpy.asarray, params)
+    loss_s, grads_s = single(jp, x, gb, gc, gv)
+    loss_d, grads_d = sharded(jp, jax.device_put(x, bsh),
+                              jax.device_put(gb, bsh),
+                              jax.device_put(gc, bsh),
+                              jax.device_put(gv, bsh))
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_s),
+                    jax.tree_util.tree_leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
