@@ -184,6 +184,50 @@ class Segformer(nn.Module):
         return SegformerHead(self.config, name="head")(feats, train)
 
 
+def config_from_variables(variables, num_labels=None) -> SegformerConfig:
+    """Infer the MiT geometry from a parameter tree so any variant
+    (mit-b0..b5) loads without a hand-written config — the reference's
+    ``--pretrained_model`` accepts any HF id (``SegFormer/train/
+    train.py:140-141``).  Everything shape-recoverable is inferred
+    (stage widths/depths, patch sizes, sr ratios, mlp ratio, decoder
+    width, classifier labels); attention-head counts and strides are not
+    visible in shapes and use the MiT-family constants, which are shared
+    by every published variant."""
+    import re
+
+    params = variables.get("params", variables)
+    enc = params["encoder"]
+    n_stages = sum(1 for k in enc if str(k).startswith("patch_embed"))
+    hidden = tuple(int(enc[f"patch_embed{i}"]["proj"]["bias"].shape[0])
+                   for i in range(n_stages))
+    depths = tuple(
+        sum(1 for k in enc if re.fullmatch(rf"block{i}_\d+", str(k)))
+        for i in range(n_stages))
+    patch_sizes = tuple(int(enc[f"patch_embed{i}"]["proj"]["kernel"].shape[0])
+                        for i in range(n_stages))
+    sr_ratios = []
+    for i in range(n_stages):
+        srk = enc[f"block{i}_0"].get("attn", {}).get("sr", {}).get("kernel")
+        sr_ratios.append(int(srk.shape[0]) if srk is not None else 1)
+    mlp_ratio = int(enc["block0_0"]["mlp"]["dense1"]["bias"].shape[0]
+                    // hidden[0])
+    default = SegformerConfig()
+    decoder = default.decoder_hidden_size
+    head = params.get("head")
+    if head is not None:
+        decoder = int(head["linear_fuse"]["kernel"].shape[-1])
+        if num_labels is None:
+            num_labels = int(head["classifier"]["bias"].shape[0])
+    if num_labels is None:
+        num_labels = default.num_labels
+    return SegformerConfig(
+        num_labels=num_labels, hidden_sizes=hidden, depths=depths,
+        num_attention_heads=default.num_attention_heads[:n_stages],
+        sr_ratios=tuple(sr_ratios), patch_sizes=patch_sizes,
+        strides=default.strides[:n_stages], mlp_ratio=mlp_ratio,
+        decoder_hidden_size=decoder)
+
+
 def upsample_logits(logits: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Bilinear upsample to label size, align_corners=False (the torch
     ``F.interpolate`` call at ``SegFormer/train/train.py:46-52``)."""

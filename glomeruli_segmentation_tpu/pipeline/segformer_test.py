@@ -109,7 +109,12 @@ def run_segformer_test(args) -> None:
     variables = {"params": jax.tree.map(jnp.asarray, blob["params"]),
                  "batch_stats": jax.tree.map(jnp.asarray,
                                              blob["batch_stats"])}
-    model = Segformer(SegformerConfig(num_labels=args.num_labels))
+    # geometry inferred from the checkpoint so any MiT variant loads
+    # (models/segformer.py::config_from_variables)
+    from ..models.segformer import config_from_variables
+
+    model = Segformer(config_from_variables(variables,
+                                            num_labels=args.num_labels))
 
     data_source = os.path.join(args.data_root, args.target_site,
                                args.data_date)

@@ -114,12 +114,20 @@ def train_segformer(args) -> str:
     print(f"Number of validation examples: {len(val_ds)}")
 
     config = SegformerConfig(num_labels=args.num_labels)
-    model = Segformer(config)
     sample = jnp.zeros((1, 512, 512, 3), jnp.float32)
     if getattr(args, "pretrained_checkpoint", None):
         from ..convert.segformer_import import load_segformer_variables
+        from ..models.segformer import config_from_variables
 
         variables = load_segformer_variables(args.pretrained_checkpoint)
+        # adopt the checkpoint's MiT geometry (any mit-b0..b5 works); the
+        # classifier width stays num_labels — a shape-mismatched
+        # pretrained classifier keeps our init via the merge below
+        import dataclasses as _dc
+
+        config = _dc.replace(config_from_variables(variables),
+                             num_labels=args.num_labels)
+        model = Segformer(config)
         init = model.init(jax.random.key(0), sample, train=True)
 
         # transfer-learning merge (SegFormer/train/train.py:140-141): take
@@ -151,6 +159,7 @@ def train_segformer(args) -> str:
         print(f"pretrained checkpoint loaded "
               f"({n_loaded} tensors adopted)")
     else:
+        model = Segformer(config)
         variables = model.init(jax.random.key(0), sample, train=True)
     params, batch_stats = variables["params"], variables["batch_stats"]
 

@@ -64,3 +64,41 @@ def test_variable_tree_matches_init(hf_model):
     got = jax.tree.map(lambda a: a.shape, variables)
     want = jax.tree.map(lambda a: a.shape, init_vars)
     assert got == want
+
+
+def test_config_from_variables_roundtrip():
+    """Geometry inference: a non-default MiT layout (b2-flavoured widths/
+    depths scaled down) recovers from its own init's shapes, so any
+    mit-b0..b5 checkpoint loads without a hand-written config."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from glomeruli_segmentation_tpu.models.segformer import (
+        config_from_variables,
+    )
+
+    # widths divisible by the MiT-family head counts (1, 2, 5, 8)
+    cfg = SegformerConfig(num_labels=3, hidden_sizes=(8, 16, 40, 64),
+                          depths=(1, 2, 2, 1), sr_ratios=(8, 4, 2, 1),
+                          patch_sizes=(7, 3, 3, 3), mlp_ratio=2,
+                          decoder_hidden_size=32)
+    model = Segformer(cfg)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    inferred = config_from_variables(variables)
+    assert inferred == cfg
+    # num_labels override wins over the classifier width (transfer case)
+    assert config_from_variables(variables, num_labels=7) == \
+        dataclasses.replace(cfg, num_labels=7)
+
+
+def test_config_from_variables_on_hf_import(hf_model):
+    from glomeruli_segmentation_tpu.models.segformer import (
+        config_from_variables,
+    )
+
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    variables = hf_state_dict_to_variables(sd)
+    assert config_from_variables(variables) == SegformerConfig(num_labels=5)
