@@ -23,7 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--window_size", type=int, default=None)
     parser.add_argument("--overlap_ratio", type=float, default=None)
     parser.add_argument("--conf_threshold", type=float, default=0.6)
-    parser.add_argument("--model_name", default="frozen_inference_graph.pb")
+    parser.add_argument("--model_name", default=None,
+                        help="detector file inside --model. Default: "
+                             "auto-discover (detector.ckpt.pth > "
+                             "od_api_detector.ckpt.pth > "
+                             "frozen_inference_graph.pb); naming a file "
+                             "explicitly loads exactly that file")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already present in the timing log "
@@ -53,12 +58,32 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def load_backend(model_dir: str, model_name: str, batch_size: int,
+def load_backend(model_dir: str, model_name: str = None, batch_size: int = 8,
                  od_api_overrides=None, data_parallel: int = 0):
+    """Resolve a detector backend from ``model_dir``.
+
+    ``model_name=None`` auto-discovers in precedence order native checkpoint
+    > fine-tuned OD-API checkpoint > ``frozen_inference_graph.pb``.  An
+    explicit ``model_name`` loads exactly that file (dispatch by name/
+    extension), so a fine-tuned checkpoint written next to the downloaded
+    ``.pb`` cannot silently preempt an explicitly requested graph."""
     from ..pipeline.detect import JaxDetectorBackend
 
+    explicit = model_name is not None
+    if explicit:
+        requested = os.path.join(model_dir, model_name)
+        if not os.path.isfile(requested):
+            raise SystemExit(f"--model_name: {requested} not found")
+        base = os.path.basename(model_name)
+        native_ok = base == "detector.ckpt.pth"
+        od_ok = base == "od_api_detector.ckpt.pth"
+        pb_ok = not (native_ok or od_ok)
+    else:
+        native_ok = od_ok = pb_ok = True
+        model_name = "frozen_inference_graph.pb"
+
     native_ckpt = os.path.join(model_dir, "detector.ckpt.pth")
-    if os.path.isfile(native_ckpt):
+    if native_ok and os.path.isfile(native_ckpt):
         import jax.numpy as jnp
         import jax
 
@@ -75,7 +100,7 @@ def load_backend(model_dir: str, model_name: str, batch_size: int,
                                   data_parallel=data_parallel)
 
     od_ckpt = os.path.join(model_dir, "od_api_detector.ckpt.pth")
-    if os.path.isfile(od_ckpt):
+    if od_ok and os.path.isfile(od_ckpt):
         # natively fine-tuned OD-API weights (train/od_api_finetune.py);
         # architecture constants saved at training time are defaults, CLI
         # overrides win
@@ -93,7 +118,7 @@ def load_backend(model_dir: str, model_name: str, batch_size: int,
                                     data_parallel=data_parallel, **merged)
 
     pb_path = os.path.join(model_dir, model_name)
-    if os.path.isfile(pb_path):
+    if pb_ok and os.path.isfile(pb_path):
         # the reference's downloaded OD-API export (example/README.md:20-24):
         # constants are extracted and assembled into the native inception_v2
         # Faster R-CNN (convert/pb_import.py, models/od_api_frcnn.py)

@@ -41,7 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     # (BASELINE.md round-2 profile): 32 halves sec/slide vs 8 on real
     # slide populations while bounding pad waste on sparse slides
     parser.add_argument("--seg_batch_size", type=int, default=32)
-    parser.add_argument("--model_name", default="frozen_inference_graph.pb")
+    parser.add_argument("--model_name", default=None,
+                        help="detector file inside --model (default: "
+                             "auto-discover; see gseg-detect --help)")
     parser.add_argument("--engine", default="auto",
                         choices=["auto", "xla", "fused", "packed"],
                         help="'fused' scans folds through the Pallas ESP "

@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="crop bucket sizes (multiples of 256) to warm")
     parser.add_argument("--model", type=str, default=None,
                         help="detector model dir (optional)")
-    parser.add_argument("--model_name", default="frozen_inference_graph.pb")
+    parser.add_argument("--model_name", default=None,
+                        help="detector file inside --model (default: "
+                             "auto-discover; see gseg-detect --help)")
     parser.add_argument("--window_sizes", type=int, nargs="*", default=[1024],
                         help="detection window pixel sizes to warm")
     parser.add_argument("--batch_size", type=int, default=8,

@@ -21,12 +21,32 @@ def make_mesh(n_devices: Optional[int] = None,
     """1-D data mesh by default; ``model_parallelism > 1`` splits a model axis."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} jax device(s) are available "
+                f"({[d.platform for d in devices]}); set GSEG_CPU_DEVICES/"
+                f"jax_num_cpu_devices or lower --data_parallel")
         devices = devices[:n_devices]
     n = len(devices)
     assert n % model_parallelism == 0
     arr = np.asarray(devices).reshape(n // model_parallelism,
                                       model_parallelism)
     return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def make_data_mesh(data_parallel: int, batch_size: int) -> Optional[Mesh]:
+    """The ``--data_parallel`` CLI policy, shared by every stage: ``0`` ->
+    no mesh (single device), ``-1`` -> all devices, ``N`` -> exactly N;
+    the batch must split evenly over the data axis."""
+    if not data_parallel:
+        return None
+    mesh = make_mesh(None if data_parallel < 0 else data_parallel)
+    d = mesh.shape["data"]
+    if batch_size % d:
+        raise ValueError(f"batch_size {batch_size} must be a multiple of "
+                         f"the data-axis size {d}")
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -89,16 +89,9 @@ def _make_backend_mesh(data_parallel: int, batch_size: int):
     """Window batches shard over the mesh's 'data' axis — detection is the
     wall-clock-dominant stage (SURVEY.md §3.2), and the reference leaves it
     single-device."""
-    if not data_parallel:
-        return None
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import make_data_mesh
 
-    mesh = make_mesh(None if data_parallel < 0 else data_parallel)
-    d = mesh.shape["data"]
-    if batch_size % d:
-        raise ValueError(f"batch_size {batch_size} must be a multiple of "
-                         f"the data-axis size {d}")
-    return mesh
+    return make_data_mesh(data_parallel, batch_size)
 
 
 def _shard_detect_fn(mesh, fn, n_array_args: int):

@@ -145,13 +145,9 @@ def _jit_detector_step(step, n_state: int, n_batch: int,
         return jax.jit(step), None
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import make_data_mesh
 
-    mesh = make_mesh(None if data_parallel < 0 else data_parallel)
-    d = mesh.shape["data"]
-    if batch_size % d:
-        raise ValueError(f"batch_size {batch_size} must be a multiple of "
-                         f"the data-axis size {d}")
+    mesh = make_data_mesh(data_parallel, batch_size)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     jitted = jax.jit(step,

@@ -80,7 +80,14 @@ def finetune_od_api(staining: str, data_dir: str, target_list: str,
     rng = np.random.default_rng(config.seed)
 
     tx = optax.adam(config.lr)
-    train_params = jax.tree.map(jnp.asarray, params)
+    # reuse the tree the model already converted to device arrays — every
+    # training call overrides params explicitly, so a second copy would
+    # just double the trunk's HBM footprint for the whole run
+    train_params = model.params
+    # drop the model's baked reference so the pre-training tree can be
+    # freed once the first optimizer update replaces train_params (every
+    # call below passes params explicitly)
+    model.params = None
     opt_state = tx.init(train_params)
 
     def step(p, opt_state, x, gb, gc, gv):

@@ -87,7 +87,7 @@ def test_finetune_updates_params_and_roundtrips(annotated_tree, tmp_path):
     # constants as defaults, CLI geometry overrides on top)
     from glomeruli_segmentation_tpu.cli.detect import load_backend
 
-    backend = load_backend(str(tmp_path / "model"), "unused.pb", 2,
+    backend = load_backend(str(tmp_path / "model"), None, 2,
                            od_api_overrides={"min_dimension": 128,
                                              "max_dimension": 128,
                                              "max_proposals": 16})

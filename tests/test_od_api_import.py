@@ -369,3 +369,48 @@ def test_detect_cli_loads_pb_end_to_end(tmp_path):
     ])
     assert (tmp_path / "out" / "OPT_PAS_GlomusList_log.csv").exists()
     assert (tmp_path / "out" / "OPT_PAS_GlomusList.csv").exists()
+
+
+def test_explicit_model_name_beats_checkpoint_discovery(tmp_path):
+    """A fine-tuned ``od_api_detector.ckpt.pth`` written next to the
+    downloaded ``.pb`` wins auto-discovery, but an explicit
+    ``--model_name frozen_inference_graph.pb`` must load exactly the
+    graph the user named."""
+    import dataclasses
+
+    import jax
+
+    from glomeruli_segmentation_tpu.cli.detect import load_backend
+    from glomeruli_segmentation_tpu.convert.pb_import import (
+        assemble_od_api_params,
+    )
+    from glomeruli_segmentation_tpu.convert.torch_pickle import (
+        save_torch_legacy,
+    )
+    from glomeruli_segmentation_tpu.models.od_api_frcnn import ODAPIConfig
+    from glomeruli_segmentation_tpu.train.od_api_finetune import (
+        OD_API_CKPT_NAME,
+    )
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    pb_consts, _, _ = build_od_api_consts(seed=8, num_classes=1)
+    write_graph(pb_consts, str(model_dir / "frozen_inference_graph.pb"))
+    # the "fine-tuned" checkpoint uses 2 classes so the loaded backend
+    # betrays which source it came from
+    ck_consts, _, _ = build_od_api_consts(seed=9, num_classes=2)
+    ck_params, ck_classes = assemble_od_api_params(ck_consts)
+    save_torch_legacy({
+        "od_api_params": jax.tree.map(np.asarray, ck_params),
+        "num_classes": ck_classes,
+        "od_config": dataclasses.asdict(ODAPIConfig(num_classes=ck_classes)),
+    }, str(model_dir / OD_API_CKPT_NAME))
+
+    auto = load_backend(str(model_dir), None, 2)
+    assert auto.num_classes == 2  # checkpoint preferred when unnamed
+
+    explicit = load_backend(str(model_dir), "frozen_inference_graph.pb", 2)
+    assert explicit.num_classes == 1  # the named graph, not the checkpoint
+
+    with pytest.raises(SystemExit, match="not found"):
+        load_backend(str(model_dir), "missing.pb", 2)

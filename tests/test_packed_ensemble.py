@@ -109,10 +109,12 @@ def test_packed_matches_fold_scan_ensemble(reference_models_dir, level3):
     assert disagree < 1e-3, disagree
 
 
-def test_packed_level2_pallas_matches_xla(reference_models_dir):
+@pytest.mark.parametrize("pack_taps", [False, True])
+def test_packed_level2_pallas_matches_xla(reference_models_dir, pack_taps):
     """The packed level-2 blocks through the fused Pallas ESP kernel
     (block-diagonal 320-ch form) vs the packed XLA path: identical math,
-    different accumulation order only."""
+    different accumulation order only.  Covers both tap layouts of the
+    strip-DMA kernel (``level2_pack_taps``)."""
     from glomeruli_segmentation_tpu.convert.espnet_import import (
         load_espnet_variables,
     )
@@ -125,7 +127,8 @@ def test_packed_level2_pallas_matches_xla(reference_models_dir):
     kw = dict(level3="xla", interpret=True, compute_dtype="float32",
               precision="highest")
     ref = PackedEnsembleESPNet(trees, means, stds, level2="xla", **kw)
-    fused = PackedEnsembleESPNet(trees, means, stds, level2="pallas", **kw)
+    fused = PackedEnsembleESPNet(trees, means, stds, level2="pallas",
+                                 level2_pack_taps=pack_taps, **kw)
 
     rng = np.random.RandomState(11)
     # 256x1024 input -> level-2 extent 64x256 -> w_tile 128, TWO tiles:
