@@ -130,8 +130,16 @@ def bench_e2e_extra() -> dict:
         centers = bench_e2e.make_slide(tmp)
         np.save(centers_file, np.asarray(centers))
     centers = np.load(centers_file)
-    det = bench_e2e.bench_detection(tmp)
-    seg = bench_e2e.bench_fused_segmentation(tmp, centers)
+    # each sub-bench is independently guarded: a failure in one stage
+    # must not blank the others' numbers in the driver artifact
+    try:
+        det = bench_e2e.bench_detection(tmp)
+    except Exception as e:
+        det = {"error": repr(e)}
+    try:
+        seg = bench_e2e.bench_fused_segmentation(tmp, centers)
+    except Exception as e:
+        seg = {"error": repr(e)}
     try:
         sf = bench_e2e.bench_segformer()
     except Exception:
@@ -150,6 +158,9 @@ def bench_e2e_extra() -> dict:
         "fused_breakdown": seg.get("breakdown"),
         "segformer_crops_per_sec": sf.get("crops_per_sec"),
     }
+    for key, d in (("detection_error", det), ("fused_error", seg)):
+        if "error" in d:
+            extra[key] = d["error"]
     if det.get("sec_per_slide") and seg.get("sec_per_slide"):
         # e2e composes detection + the faster of the two fused variants
         seg_best = min(seg["sec_per_slide"],

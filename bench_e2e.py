@@ -90,7 +90,8 @@ def bench_detection(slide_path: str) -> dict:
     t0 = time.perf_counter()
     det = run_scan()
     dt = time.perf_counter() - t0
-    wx_org, wy_org, x_split, y_split, _, _ = det.calc_window_size()
+    (wx_org, wy_org, x_split, y_split,
+     wx_px, wy_px) = det.calc_window_size()
     n_windows = x_split * y_split
 
     # breakdown (VERDICT r2 weak 2): how much of the scan is slide read +
@@ -98,16 +99,19 @@ def bench_detection(slide_path: str) -> dict:
     # window reads; the device rate comes from resident re-detection of
     # one batch.
     level = slide.get_best_level_for_downsample(8)
-    # repeat exactly the scan's read pattern: calc_window_size()'s px
-    # window at the ds-8 level, zero overlap -> stride == window
+    # repeat exactly the scan's read pattern (scan_region): level-0
+    # strides of the µm window, (wx_px, wy_px) px at the ds-8 level;
+    # zero overlap -> stride == window
+    stride_x = int(wx_org * (1.0 - det.OVERLAP_RATIO))
+    stride_y = int(wy_org * (1.0 - det.OVERLAP_RATIO))
     t0 = time.perf_counter()
     for j in range(y_split):
         for i in range(x_split):
             np.asarray(slide.read_region_array(
-                (i * wx_org * 8, j * wy_org * 8), level, (wx_org, wy_org)))
+                (i * stride_x, j * stride_y), level, (wx_px, wy_px)))
     t_read = time.perf_counter() - t0
     batch = np.stack([np.asarray(slide.read_region_array(
-        (k * wx_org * 8, 0), level, (wx_org, wy_org)))
+        (k * stride_x, 0), level, (wx_px, wy_px)))
         for k in range(4)])
     backend.detect_batch(batch)
     t0 = time.perf_counter()
