@@ -16,6 +16,11 @@ Loss: per-pixel cross entropy on 1/4-resolution logits vs the label
 downsampled? No — HF upsamples *labels are compared at label resolution*:
 SegformerForSemanticSegmentation computes CE after upsampling logits to
 label size; replicated here with the bilinear upsample op.
+
+TPU-native: ``--data_parallel N`` shards batches over an N-device mesh
+(params/optimizer replicated, loss a global psum); ragged batches pad
+images by repetition and labels with ignore_index so padded rows stay
+out of the loss (``_pad_batch``).
 """
 from __future__ import annotations
 
@@ -44,6 +49,83 @@ def _ce_ignore(logits_up, labels, ignore_index=255):
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     mask = labels != ignore_index
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+
+def _build_mesh(args):
+    n_dev = int(getattr(args, "data_parallel", 0) or 0)
+    if not n_dev:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(None if n_dev < 0 else n_dev)
+
+
+def _pad_batch(x, y, mesh):
+    """Pad a ragged batch to a multiple of the data-axis size. Images
+    repeat the last sample (one compiled geometry, even shards); labels
+    pad with ignore_index 255 so ``_ce_ignore``'s mask keeps the padded
+    rows out of the loss entirely (the decode head's train-mode BN
+    statistics still see the duplicated images — the only padding
+    effect). Returns (x, y, n_real)."""
+    n = x.shape[0]
+    if mesh is None:
+        return x, y, n
+    pad = (-n) % mesh.shape["data"]
+    if pad:
+        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        if y is not None:
+            y = np.concatenate(
+                [y, np.full((pad,) + y.shape[1:], 255, y.dtype)])
+    return x, y, n
+
+
+def _put(arr, mesh):
+    """Explicit staging (fast transfer channel on the axon tunnel,
+    CLAUDE.md); with a mesh the batch lands pre-sharded over 'data'."""
+    if mesh is None:
+        return jax.device_put(arr)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(arr, NamedSharding(mesh, P("data")))
+
+
+def build_steps(model, tx, mesh=None):
+    """Jit the train/eval steps, data-parallel over ``mesh`` when given.
+
+    Params/optimizer state replicate; the batch shards over 'data'; the
+    loss is a global reduction (XLA inserts the psum), so sharded ==
+    unsharded up to reduction order — asserted in
+    tests/test_segformer_pipeline.py."""
+
+    def train_step(params, batch_stats, opt_state, x, y):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"])
+            up = upsample_logits(logits, y.shape[1], y.shape[2])
+            return _ce_ignore(up, y), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_stats, opt_state,
+                loss)
+
+    def eval_step(params, batch_stats, x):
+        return model.apply({"params": params, "batch_stats": batch_stats}, x)
+
+    if mesh is None:
+        return jax.jit(train_step), jax.jit(eval_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    train_step = jax.jit(train_step,
+                         in_shardings=(repl, repl, repl, data, data),
+                         out_shardings=(repl, repl, repl, repl))
+    eval_step = jax.jit(eval_step, in_shardings=(repl, repl, data),
+                        out_shardings=data)
+    return train_step, eval_step
 
 
 class _PairLoader:
@@ -169,26 +251,8 @@ def train_segformer(args) -> str:
     tx = optax.adamw(schedule)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, x, y):
-        def loss_fn(p):
-            logits, upd = model.apply(
-                {"params": p, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"])
-            up = upsample_logits(logits, y.shape[1], y.shape[2])
-            return _ce_ignore(up, y), upd["batch_stats"]
-
-        (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_stats, opt_state,
-                loss)
-
-    @jax.jit
-    def eval_step(params, batch_stats, x):
-        logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             x)
-        return logits
+    mesh = _build_mesh(args)
+    train_step, eval_step = build_steps(model, tx, mesh)
 
     train_loader = _PairLoader(train_ds, args.batch_size, True,
                                args.dl_num_workers)
@@ -201,18 +265,20 @@ def train_segformer(args) -> str:
     step = 0
     for epoch in range(args.max_epoch):
         for x, y in train_loader:
+            x, y, _ = _pad_batch(x, y, mesh)
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, jax.device_put(x),
-                jax.device_put(y))
+                params, batch_stats, opt_state, _put(x, mesh),
+                _put(y, mesh))
             step += 1
         log_f.write(json.dumps({"loss": float(loss),
                                 "epoch": epoch + 1}) + "\n")
         if (epoch + 1) % args.save_interval == 0 or epoch + 1 == args.max_epoch:
             preds, gts = [], []
             for x, y in val_loader:
-                logits = eval_step(params, batch_stats, jnp.asarray(x))
+                xp, _, n_real = _pad_batch(x, None, mesh)
+                logits = eval_step(params, batch_stats, _put(xp, mesh))
                 up = upsample_logits(logits, y.shape[1], y.shape[2])
-                preds.extend(np.asarray(jnp.argmax(up, -1)))
+                preds.extend(np.asarray(jnp.argmax(up, -1))[:n_real])
                 gts.extend(y)
             if preds:
                 metrics = mean_iou(preds, gts, args.num_labels,

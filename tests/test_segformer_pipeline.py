@@ -75,6 +75,91 @@ def test_dataset_fold_split(tmp_path):
     assert abs(float(item["pixel_values"].mean())) < 5
 
 
+def test_segformer_data_parallel_step_matches_single_device():
+    """One sharded SegFormer train step over the 8-device mesh == the
+    unsharded step on the identical (padded) batch; ragged batches pad
+    images by repetition and labels with ignore_index 255 so the padded
+    rows stay out of the loss (train/segformer_train.py::_pad_batch)."""
+    from argparse import Namespace
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from glomeruli_segmentation_tpu.models.segformer import (
+        Segformer,
+        SegformerConfig,
+    )
+    from glomeruli_segmentation_tpu.train.segformer_train import (
+        _build_mesh,
+        _pad_batch,
+        _put,
+        build_steps,
+    )
+
+    cfg = SegformerConfig(num_labels=3, hidden_sizes=(8, 16, 40, 64),
+                          depths=(1, 1, 1, 1), sr_ratios=(8, 4, 2, 1),
+                          patch_sizes=(7, 3, 3, 3), mlp_ratio=2,
+                          decoder_hidden_size=32)
+    model = Segformer(cfg)
+    rng = np.random.RandomState(0)
+    x = rng.rand(6, 64, 64, 3).astype(np.float32)
+    y = rng.randint(0, 3, size=(6, 64, 64)).astype(np.int32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x[:1]), train=True)
+    tx = optax.adamw(6e-5)
+
+    # ragged 6-row batch pads to the 8-device multiple: images repeat,
+    # labels get ignore_index (so only train-mode BN sees the padding)
+    mesh8 = _build_mesh(Namespace(data_parallel=8))
+    xs, ys, n_real = _pad_batch(x, y, mesh8)
+    assert n_real == 6 and xs.shape[0] == 8
+    assert (ys[6:] == 255).all() and (xs[6:] == xs[5]).all()
+
+    out = {}
+    for n_dev in (0, 8):
+        mesh = _build_mesh(Namespace(data_parallel=n_dev))
+        train_step, eval_step = build_steps(model, tx, mesh)
+        params, stats, _, loss = train_step(
+            variables["params"], variables["batch_stats"],
+            tx.init(variables["params"]), _put(xs, mesh), _put(ys, mesh))
+        logits = eval_step(params, stats, _put(xs, mesh))
+        out[n_dev] = (float(loss), np.asarray(logits)[:n_real])
+    # the identical padded batch through both paths: loss is a global
+    # reduction (psum when sharded), equal up to reduction order.
+    # Post-step logits pass through adamw, whose m/sqrt(v) normalization
+    # amplifies reduction-order noise in near-zero gradients to the lr
+    # scale (6e-5/param) — hence the looser bound (measured max 2e-4).
+    np.testing.assert_allclose(out[0][0], out[8][0], rtol=1e-5)
+    np.testing.assert_allclose(out[0][1], out[8][1], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_segformer_train_data_parallel_e2e(tmp_path):
+    """`gseg-segformer-train --data_parallel 8` runs the real loop over
+    the CPU mesh: ragged batch-2 loads pad to the 8-device multiple,
+    eval logits slice back to the real count, artifacts land."""
+    from glomeruli_segmentation_tpu.cli.segformer_train import (
+        build_parser as train_parser,
+    )
+    from glomeruli_segmentation_tpu.train.segformer_train import (
+        train_segformer,
+    )
+
+    _gtcs_tree(tmp_path, n_specimens=5, crops_per=1, size=96)
+    model_root = tmp_path / "models"
+    args = train_parser().parse_args([
+        "--site", "01_Todai", "--data_root", str(tmp_path),
+        "--data_date", "20260101", "--model_root", str(model_root),
+        "--output_dir", "exp_dp", "--fold", "1", "--max_epoch", "1",
+        "--save_interval", "1", "--batch_size", "2", "--num_labels", "5",
+        "--input_size", "96", "--data_parallel", "8",
+    ])
+    train_segformer(args)
+    log = (model_root / "01_Todai" / "exp_dp" / "fold1"
+           / "log.txt").read_text()
+    assert "eval_mean_iou" in log
+
+
 @pytest.mark.slow
 def test_segformer_train_test_chain(tmp_path):
     from glomeruli_segmentation_tpu.cli.segformer_test import (
