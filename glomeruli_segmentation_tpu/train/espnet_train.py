@@ -141,7 +141,11 @@ class EspnetTrainer:
     def _pad_batch(self, x: np.ndarray, y: np.ndarray):
         """Pad a ragged batch to a multiple of the data-axis size by
         repeating the last sample (keeps one compiled geometry per scale
-        and an even per-device shard). Returns (x, y, n_real)."""
+        and an even per-device shard). The step's `valid` mask drops the
+        padded rows from the loss numerator AND denominator
+        (criteria.cross_entropy_2d), so padding does not bias the
+        gradient toward the repeated sample; only train-mode BN batch
+        statistics see the duplicates. Returns (x, y, n_real)."""
         n = x.shape[0]
         if self.mesh is None:
             return x, y, n
@@ -171,9 +175,10 @@ class EspnetTrainer:
         data = NamedSharding(self.mesh, P("data"))
         if training:
             return jax.jit(step,
-                           in_shardings=(repl, repl, repl, data, data),
+                           in_shardings=(repl, repl, repl, data, data,
+                                         data),
                            out_shardings=(repl, repl, repl, repl, data))
-        return jax.jit(step, in_shardings=(repl, repl, data, data),
+        return jax.jit(step, in_shardings=(repl, repl, data, data, data),
                        out_shardings=(repl, data))
 
     def _get_step(self, model, tx, shape, training: bool):
@@ -183,13 +188,13 @@ class EspnetTrainer:
         weights = self.class_weights
 
         if training:
-            def step(params, batch_stats, opt_state, x, y):
+            def step(params, batch_stats, opt_state, x, y, valid):
                 def loss_fn(p):
                     out = model.apply(
                         {"params": p, "batch_stats": batch_stats}, x,
                         train=True, mutable=["batch_stats"])
                     logits, updates = out
-                    return (cross_entropy_2d(logits, y, weights),
+                    return (cross_entropy_2d(logits, y, weights, valid),
                             (logits, updates["batch_stats"]))
 
                 (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -199,10 +204,10 @@ class EspnetTrainer:
                 pred = jnp.argmax(logits, axis=-1)
                 return params, new_stats, opt_state, loss, pred
         else:
-            def step(params, batch_stats, x, y):
+            def step(params, batch_stats, x, y, valid):
                 logits = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x)
-                loss = cross_entropy_2d(logits, y, weights)
+                loss = cross_entropy_2d(logits, y, weights, valid)
                 return loss, jnp.argmax(logits, axis=-1)
 
         if self.mesh is not None:
@@ -220,11 +225,12 @@ class EspnetTrainer:
         for i, (x, y) in enumerate(loader):
             t0 = time.time()
             x, y, n_real = self._pad_batch(np.asarray(x), np.asarray(y))
+            valid = np.arange(x.shape[0]) < n_real
             step = self._get_step(model, tx, x.shape, True)
             (state["params"], state["batch_stats"], state["opt_state"],
              loss, pred) = step(state["params"], state["batch_stats"],
                                 state["opt_state"], self._put(x),
-                                self._put(y))
+                                self._put(y), self._put(valid))
             loss = float(loss)
             losses.append(loss)
             iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
@@ -240,9 +246,11 @@ class EspnetTrainer:
         losses = []
         for i, (x, y) in enumerate(loader):
             x, y, n_real = self._pad_batch(np.asarray(x), np.asarray(y))
+            valid = np.arange(x.shape[0]) < n_real
             step = self._get_step(model, tx, x.shape, False)
             loss, pred = step(state["params"], state["batch_stats"],
-                              self._put(x), self._put(y))
+                              self._put(x), self._put(y),
+                              self._put(valid))
             losses.append(float(loss))
             iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
         overall_acc, per_class_acc, per_class_iou, miou = iou_eval.get_metric()

@@ -228,10 +228,11 @@ def test_data_parallel_step_matches_single_device():
                  "opt_state": tx.init(variables["params"])}
         xs, ys, n_real = t._pad_batch(x, y)
         assert n_real == 8 and xs.shape[0] == 8
+        valid = jnp.asarray(np.arange(8) < n_real)
         step = t._get_step(model, tx, xs.shape, True)
         p, bs, os_, loss, pred = step(state["params"], state["batch_stats"],
                                       state["opt_state"], jnp.asarray(xs),
-                                      jnp.asarray(ys))
+                                      jnp.asarray(ys), valid)
         jax.block_until_ready(p)
         results[n_dev] = float(loss)
     # the loss (a psum'd global reduction when sharded) matches exactly up
@@ -276,6 +277,20 @@ def test_data_parallel_step_matches_single_device():
     xs, ys, n_real = t._pad_batch(x[:5], y[:5])
     assert n_real == 5 and xs.shape[0] == 8
     np.testing.assert_array_equal(xs[5], xs[4])
+
+    # the step's valid mask drops padded rows from the loss numerator
+    # AND weight denominator: given the same logits, the 8-padded loss
+    # equals the 5-row loss exactly (BN in eval mode so the padded
+    # images cannot leak through the batch statistics)
+    def eval_loss(xb, yb, valid):
+        logits = model.apply(variables, jnp.asarray(xb))
+        return float(cross_entropy_2d(logits, jnp.asarray(yb), w, valid))
+
+    loss_unpadded = eval_loss(x[:5], y[:5], None)
+    loss_masked = eval_loss(xs, ys, jnp.asarray(np.arange(8) < n_real))
+    np.testing.assert_allclose(loss_masked, loss_unpadded, rtol=1e-6)
+    # and without the mask the padded rows would bias the loss
+    assert abs(eval_loss(xs, ys, None) - loss_unpadded) > 1e-7
 
 
 @pytest.mark.slow
