@@ -41,6 +41,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard batches over an N-device mesh "
                              "(0 = single device, -1 = all devices)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute on the MXU; parameters, "
+                             "optimizer state and BN statistics stay "
+                             "float32 (default: full float32, matching "
+                             "the reference recipe)")
     return parser
 
 

@@ -18,6 +18,13 @@ feature fusion, positional encoder reuse in the decoder,
 
 Channel arithmetic (``Model.py:133-134,176-177``): ``n = nOut//5``,
 ``n1 = nOut - 4*n`` — 64 -> n=12, n1=16; 128 -> n=25, n1=28.
+
+Mixed precision: every module threads an optional ``dtype`` (flax
+convention) — ``dtype=jnp.bfloat16`` runs convolutions and activations in
+bf16 on the MXU while parameters, BatchNorm statistics and running
+averages stay float32 (flax computes normalization statistics with
+float32 reductions regardless of ``dtype``).  ``dtype=None`` (default)
+is the reference-parity float32 path.
 """
 from __future__ import annotations
 
@@ -59,6 +66,7 @@ class Conv(nn.Module):
     kernel: int
     stride: int = 1
     dilation: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -69,12 +77,14 @@ class Conv(nn.Module):
             padding=_torch_pad(self.kernel, self.dilation),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
 
 
 class BatchNorm(nn.Module):
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -82,6 +92,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
+            dtype=self.dtype,
             name="bn",
         )(x)
 
@@ -90,10 +101,11 @@ class BNPReLU(nn.Module):
     """BatchNorm + PReLU (ref ``BR``, Model.py:35-54)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = BatchNorm(self.features, name="norm")(x, train)
+        x = BatchNorm(self.features, dtype=self.dtype, name="norm")(x, train)
         return PReLU(self.features, name="act")(x)
 
 
@@ -103,11 +115,13 @@ class ConvBNPReLU(nn.Module):
     features: int
     kernel: int
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = Conv(self.features, self.kernel, self.stride, name="c")(x)
-        x = BatchNorm(self.features, name="norm")(x, train)
+        x = Conv(self.features, self.kernel, self.stride,
+                 dtype=self.dtype, name="c")(x)
+        x = BatchNorm(self.features, dtype=self.dtype, name="norm")(x, train)
         return PReLU(self.features, name="act")(x)
 
 
@@ -143,23 +157,25 @@ class ESPDownsample(nn.Module):
     """ESP downsampling unit (ref ``DownSamplerB``, Model.py:130-160)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         n, n1 = _esp_split(self.features)
-        reduced = Conv(n, 3, stride=2, name="c1")(x)
-        d1 = Conv(n1, 3, dilation=1, name="d1")(reduced)
-        d2 = Conv(n, 3, dilation=2, name="d2")(reduced)
-        d4 = Conv(n, 3, dilation=4, name="d4")(reduced)
-        d8 = Conv(n, 3, dilation=8, name="d8")(reduced)
-        d16 = Conv(n, 3, dilation=16, name="d16")(reduced)
+        reduced = Conv(n, 3, stride=2, dtype=self.dtype, name="c1")(x)
+        d1 = Conv(n1, 3, dilation=1, dtype=self.dtype, name="d1")(reduced)
+        d2 = Conv(n, 3, dilation=2, dtype=self.dtype, name="d2")(reduced)
+        d4 = Conv(n, 3, dilation=4, dtype=self.dtype, name="d4")(reduced)
+        d8 = Conv(n, 3, dilation=8, dtype=self.dtype, name="d8")(reduced)
+        d16 = Conv(n, 3, dilation=16, dtype=self.dtype, name="d16")(reduced)
         # hierarchical additive fusion — Model.py:152-155
         add1 = d2
         add2 = add1 + d4
         add3 = add2 + d8
         add4 = add3 + d16
         combine = jnp.concatenate([d1, add1, add2, add3, add4], axis=-1)
-        combine = BatchNorm(self.features, name="norm")(combine, train)
+        combine = BatchNorm(self.features, dtype=self.dtype,
+                            name="norm")(combine, train)
         return PReLU(self.features, name="act")(combine)
 
 
@@ -169,24 +185,26 @@ class ESPBlock(nn.Module):
 
     features: int
     add: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         n, n1 = _esp_split(self.features)
-        reduced = Conv(n, 1, name="c1")(x)
-        d1 = Conv(n1, 3, dilation=1, name="d1")(reduced)
-        d2 = Conv(n, 3, dilation=2, name="d2")(reduced)
-        d4 = Conv(n, 3, dilation=4, name="d4")(reduced)
-        d8 = Conv(n, 3, dilation=8, name="d8")(reduced)
-        d16 = Conv(n, 3, dilation=16, name="d16")(reduced)
+        reduced = Conv(n, 1, dtype=self.dtype, name="c1")(x)
+        d1 = Conv(n1, 3, dilation=1, dtype=self.dtype, name="d1")(reduced)
+        d2 = Conv(n, 3, dilation=2, dtype=self.dtype, name="d2")(reduced)
+        d4 = Conv(n, 3, dilation=4, dtype=self.dtype, name="d4")(reduced)
+        d8 = Conv(n, 3, dilation=8, dtype=self.dtype, name="d8")(reduced)
+        d16 = Conv(n, 3, dilation=16, dtype=self.dtype, name="d16")(reduced)
         add1 = d2
         add2 = add1 + d4
         add3 = add2 + d8
         add4 = add3 + d16
         combine = jnp.concatenate([d1, add1, add2, add3, add4], axis=-1)
         if self.add:
-            combine = x + combine  # Model.py:211-212
-        return BNPReLU(self.features, name="br")(combine, train)
+            combine = x.astype(combine.dtype) + combine  # Model.py:211-212
+        return BNPReLU(self.features, dtype=self.dtype,
+                       name="br")(combine, train)
 
 
 def upconv2x2(x: Array, kernel: Array) -> Array:
@@ -229,35 +247,43 @@ class ESPNetEncoder(nn.Module):
     classes: int = 5
     p: int = 2
     q: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
                  return_intermediates: bool = False):
-        output0 = ConvBNPReLU(16, 3, stride=2, name="level1")(x, train)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        output0 = ConvBNPReLU(16, 3, stride=2, dtype=dt,
+                              name="level1")(x, train)
         inp1 = input_pyramid(x, 1)
         inp2 = input_pyramid(x, 2)
 
-        output0_cat = BNPReLU(16 + 3, name="b1")(
+        output0_cat = BNPReLU(16 + 3, dtype=dt, name="b1")(
             jnp.concatenate([output0, inp1], axis=-1), train)
-        output1_0 = ESPDownsample(64, name="down2")(output0_cat, train)
+        output1_0 = ESPDownsample(64, dtype=dt, name="down2")(output0_cat,
+                                                              train)
 
         out = output1_0
         for i in range(self.p):
-            out = ESPBlock(64, name=f"level2_{i}")(out, train)
+            out = ESPBlock(64, dtype=dt, name=f"level2_{i}")(out, train)
         output1 = out
 
-        output1_cat = BNPReLU(128 + 3, name="b2")(
+        output1_cat = BNPReLU(128 + 3, dtype=dt, name="b2")(
             jnp.concatenate([output1, output1_0, inp2], axis=-1), train)
-        output2_0 = ESPDownsample(128, name="down3")(output1_cat, train)
+        output2_0 = ESPDownsample(128, dtype=dt, name="down3")(output1_cat,
+                                                               train)
 
         out = output2_0
         for i in range(self.q):
-            out = ESPBlock(128, name=f"level3_{i}")(out, train)
+            out = ESPBlock(128, dtype=dt, name=f"level3_{i}")(out, train)
         output2 = out
 
-        output2_cat = BNPReLU(256, name="b3")(
+        output2_cat = BNPReLU(256, dtype=dt, name="b3")(
             jnp.concatenate([output2_0, output2], axis=-1), train)
-        logits = Conv(self.classes, 1, name="classifier")(output2_cat)
+        logits = Conv(self.classes, 1, dtype=dt,
+                      name="classifier")(output2_cat)
 
         if return_intermediates:
             return logits, output0_cat, output1_cat
@@ -271,32 +297,36 @@ class ESPNet(nn.Module):
     classes: int = 5
     p: int = 2
     q: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         c = self.classes
+        dt = self.dtype
         enc_logits, output0_cat, output1_cat = ESPNetEncoder(
-            self.classes, self.p, self.q, name="encoder"
+            self.classes, self.p, self.q, dtype=dt, name="encoder"
         )(x, train, return_intermediates=True)
 
         # RUM decoder — Model.py:330-339,370-378
         br = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                          epsilon=BN_EPS, name="br")
+                          epsilon=BN_EPS, dtype=dt, name="br")
         output2_c = UpConv2x2(c, name="up_l3")(br(enc_logits))
 
-        output1_c = Conv(c, 1, name="level3_C")(output1_cat)
+        output1_c = Conv(c, 1, dtype=dt, name="level3_C")(output1_cat)
 
         comb = jnp.concatenate([output1_c, output2_c], axis=-1)
-        comb = BNPReLU(2 * c, name="combine_l2_l3_br")(comb, train)
-        comb = ConvBNPReLU(c, 3, name="combine_l2_l3_cbr")(comb, train)
+        comb = BNPReLU(2 * c, dtype=dt, name="combine_l2_l3_br")(comb, train)
+        comb = ConvBNPReLU(c, 3, dtype=dt,
+                           name="combine_l2_l3_cbr")(comb, train)
         comb = UpConv2x2(c, name="up_l2")(comb)
-        comb = BNPReLU(c, name="up_l2_br")(comb, train)
+        comb = BNPReLU(c, dtype=dt, name="up_l2_br")(comb, train)
 
-        feats = ConvBNPReLU(c, 3, name="conv")(
+        feats = ConvBNPReLU(c, 3, dtype=dt, name="conv")(
             jnp.concatenate([comb, output0_cat], axis=-1), train)
         return UpConv2x2(c, name="classifier")(feats)
 
 
 def create_espnet(classes: int = 5, p: int = 2, q: int = 8,
-                  decoder: bool = True) -> nn.Module:
-    return (ESPNet if decoder else ESPNetEncoder)(classes=classes, p=p, q=q)
+                  decoder: bool = True, dtype: Any = None) -> nn.Module:
+    return (ESPNet if decoder else ESPNetEncoder)(classes=classes, p=p, q=q,
+                                                  dtype=dtype)

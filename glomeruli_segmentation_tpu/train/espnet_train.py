@@ -114,11 +114,17 @@ class EspnetTrainer:
 
     def build_model(self):
         args = self.args
+        # --bf16: convolutions/activations in bfloat16 on the MXU;
+        # parameters, gradients (cast back through the weight casts),
+        # optimizer state and BN statistics stay float32 (flax mixed
+        # precision).  Default float32 matches the reference recipe
+        # (module/espnet/train/main.py:227-234) bit-for-bit in spirit.
+        dtype = jnp.bfloat16 if getattr(args, "bf16", False) else None
         if not args.decoder:
-            model = ESPNetEncoder(args.classes, args.p, args.q)
+            model = ESPNetEncoder(args.classes, args.p, args.q, dtype=dtype)
             args.savedir = args.savedir + f"_enc_{args.p}_{args.q}/"
         else:
-            model = ESPNet(args.classes, args.p, args.q)
+            model = ESPNet(args.classes, args.p, args.q, dtype=dtype)
             args.savedir = args.savedir + f"_dec_{args.p}_{args.q}/"
         return model
 
@@ -167,6 +173,17 @@ class EspnetTrainer:
 
         return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
 
+    @staticmethod
+    def _donate(training: bool):
+        """Donate params/batch_stats/opt_state to the training step: the
+        step returns their replacements, so XLA can update the ~1.4 MB
+        state in place instead of allocating fresh buffers every step.
+        CPU (the test mesh) does not implement donation and would warn
+        per step, so donation is TPU-only."""
+        if not training or jax.default_backend() == "cpu":
+            return ()
+        return (0, 1, 2)
+
     def _shard(self, step, training: bool):
         """Wrap a step function with data-parallel shardings over the mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -177,7 +194,8 @@ class EspnetTrainer:
             return jax.jit(step,
                            in_shardings=(repl, repl, repl, data, data,
                                          data),
-                           out_shardings=(repl, repl, repl, repl, data))
+                           out_shardings=(repl, repl, repl, repl, data),
+                           donate_argnums=self._donate(training))
         return jax.jit(step, in_shardings=(repl, repl, data, data, data),
                        out_shardings=(repl, data))
 
@@ -194,6 +212,9 @@ class EspnetTrainer:
                         {"params": p, "batch_stats": batch_stats}, x,
                         train=True, mutable=["batch_stats"])
                     logits, updates = out
+                    # loss always reduces in f32 (bf16 log-softmax over
+                    # 25-px logits loses ~2 decimal digits)
+                    logits = logits.astype(jnp.float32)
                     return (cross_entropy_2d(logits, y, weights, valid),
                             (logits, updates["batch_stats"]))
 
@@ -207,13 +228,14 @@ class EspnetTrainer:
             def step(params, batch_stats, x, y, valid):
                 logits = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x)
+                logits = logits.astype(jnp.float32)
                 loss = cross_entropy_2d(logits, y, weights, valid)
                 return loss, jnp.argmax(logits, axis=-1)
 
         if self.mesh is not None:
             step = self._shard(step, training)
         else:
-            step = jax.jit(step)
+            step = jax.jit(step, donate_argnums=self._donate(training))
         self._step_cache[key] = step
         return step
 

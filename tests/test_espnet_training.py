@@ -429,3 +429,62 @@ def test_train_step_parity_vs_torch(reference_models_dir):
         checked += 1
     # all 205 reference keys minus the 21 bn num_batches_tracked counters
     assert checked == 184
+
+
+def test_bf16_mixed_precision_step():
+    """--bf16: compute rides bfloat16, masters stay f32.
+
+    The bf16 model's training step must (a) keep params, gradients,
+    optimizer state and BN running statistics in float32, (b) produce a
+    loss close to the f32 step's from identical init/batch, and (c) emit
+    bf16 logits (proof the forward actually ran in half precision).
+    """
+    import jax
+    import jax.numpy as jnp
+    from argparse import Namespace
+
+    from glomeruli_segmentation_tpu.models.espnet import ESPNet
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 64, 3).astype(np.float32)
+    y = (rng.rand(2, 32, 64) > 0.7).astype(np.int32)
+
+    f32 = ESPNet(5, 1, 2)
+    bf16 = ESPNet(5, 1, 2, dtype=jnp.bfloat16)
+    variables = f32.init(jax.random.key(0), jnp.asarray(x[:1]), train=True)
+
+    # same param tree either way (dtype does not alter structure/init)
+    chex_tree = jax.tree.structure(bf16.init(jax.random.key(0),
+                                             jnp.asarray(x[:1]), train=True))
+    assert chex_tree == jax.tree.structure(variables)
+
+    logits_bf16, upd = bf16.apply(variables, jnp.asarray(x), train=True,
+                                  mutable=["batch_stats"])
+    assert logits_bf16.dtype == jnp.bfloat16
+    # BN running statistics stay f32 even under bf16 compute
+    assert all(s.dtype == jnp.float32
+               for s in jax.tree.leaves(upd["batch_stats"]))
+
+    losses = {}
+    for name, model in (("f32", f32), ("bf16", bf16)):
+        args = Namespace(lr=5e-4, step_loss=100, weight_decay=5e-4,
+                         data_parallel=0)
+        t = EspnetTrainer(args)
+        t.class_weights = jnp.ones((5,), jnp.float32)
+        tx = t.build_optimizer()
+        step = t._get_step(model, tx, x.shape, True)
+        p, bs, _, loss, _ = step(variables["params"],
+                                 variables["batch_stats"],
+                                 tx.init(variables["params"]),
+                                 jnp.asarray(x), jnp.asarray(y),
+                                 jnp.ones((2,), bool))
+        assert all(g.dtype == jnp.float32 for g in jax.tree.leaves(p))
+        assert all(s.dtype == jnp.float32 for s in jax.tree.leaves(bs))
+        losses[name] = float(loss)
+    # bf16 truncates conv operands; at init the losses agree loosely
+    np.testing.assert_allclose(losses["bf16"], losses["f32"], rtol=5e-2)
+
+    # the CLI flag exists and defaults off
+    args = build_parser().parse_args([])
+    assert args.bf16 is False
+    assert build_parser().parse_args(["--bf16"]).bf16 is True
