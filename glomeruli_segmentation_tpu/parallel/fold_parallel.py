@@ -1,0 +1,143 @@
+"""Ensemble (fold) parallelism: fold networks sharded over mesh devices.
+
+The reference evaluates five per-fold ESPNet checkpoints and combines
+their predictions per slide (``module/espnet/test/eval_wsi_segmentation.py``
+drives one fold per invocation; the fused pipeline's probability-mean
+combine lives in ``pipeline/fused.py``).  Data parallelism replicates all
+five folds on every device and splits the crop batch; this module is the
+orthogonal axis — the *folds* shard over the mesh ("expert" parallelism in
+mesh terms):
+
+- each device holds only its fold slice of the stacked checkpoint pytree
+  (1/n of the weight memory),
+- every device runs the full crop batch through its local folds,
+- the per-fold probability maps are summed with one ``psum`` over ICI and
+  the argmax is taken on the replicated sum.
+
+The fold count rarely matches the device count, so the stacked weights are
+padded to a multiple of the axis size with zero-weighted duplicates — the
+padded folds' probabilities are multiplied by 0.0 before the combine (the
+mean-vs-sum distinction cannot flip an argmax).  Two combine modes:
+
+- ``exact=True`` (default): ``all_gather`` the per-fold probability maps
+  and add them strictly in fold order — bit-identical to the unsharded
+  sequential fold loop (zero-weighted pads contribute exact +0.0).
+- ``exact=False``: one ``psum`` — fewer ICI bytes, but the reduction may
+  reassociate the f32 sum (same accuracy contract as the data-parallel
+  loss psum).
+
+Latency motivation: at small crop batches the ensemble is latency-bound
+(BASELINE.md "Round-3 device profile": ~60 ms fixed cost per fold), so on
+an n-chip slice fold parallelism cuts the fixed cost ~F-fold where data
+parallelism cannot (a B=8 batch split 8 ways leaves each chip
+latency-bound on all 5 folds).  Compose with data parallelism by building
+a 2-D mesh and passing its fold axis name here.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map  # jax >= 0.8
+        kwargs = {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        kwargs = {"check_rep": False}  # pre-0.8 kwarg name
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **kwargs)
+
+
+def pad_folds(stacked_vars: Any, mean: jax.Array, std: jax.Array,
+              n_dev: int):
+    """Pad a fold-leading stacked pytree to a multiple of ``n_dev`` folds.
+
+    Returns (padded_vars, padded_mean, padded_std, fold_weights) where
+    ``fold_weights`` is 1.0 for real folds and 0.0 for the duplicated
+    padding folds.
+    """
+    n_folds = mean.shape[0]
+    pad = (-n_folds) % n_dev
+
+    def pad_leading(a):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+
+    weights = jnp.concatenate([jnp.ones((n_folds,), jnp.float32),
+                               jnp.zeros((pad,), jnp.float32)])
+    return (jax.tree.map(pad_leading, stacked_vars), pad_leading(mean),
+            pad_leading(std), weights)
+
+
+def fold_parallel_argmax(mesh: Mesh, model, stacked_vars: Any,
+                         mean: jax.Array, std: jax.Array,
+                         resized: jax.Array, *, axis_name: str = "data",
+                         compute_dtype=jnp.float32,
+                         precision: str = "highest",
+                         exact: bool = True) -> jax.Array:
+    """Fold-sharded ensemble argmax of one resized crop batch.
+
+    Args:
+      model: the per-fold flax module (ESPNet).
+      stacked_vars: fold-leading stacked variable pytree (F on axis 0).
+      mean/std: (F, 3) per-fold BGR normalization (README.md:243-249 of
+        the reference).
+      resized: (B, H, W, 3) float crops at network resolution (the
+        output of the pipeline's cv2-exact dynamic resize).
+      exact: ordered all_gather combine (bit-identical to the unsharded
+        fold loop) vs a reassociating psum.
+    Returns (B, H, W) uint8 class maps, replicated over the mesh.
+    """
+    n_dev = mesh.shape[axis_name]
+    classes = model.classes
+    vars_p, mean_p, std_p, wf = pad_folds(stacked_vars, mean, std, n_dev)
+
+    per = (mean.shape[0] + (-mean.shape[0]) % n_dev) // n_dev
+
+    def local(vars_l, mean_l, std_l, wf_l, x):
+        # vars_l: this device's fold slice (per folds leading); x: full batch
+        def fold_probs(inputs):
+            v, m, s, w = inputs
+            xn = ((x - m) / s / 255.0).astype(compute_dtype)
+            with jax.default_matmul_precision(precision):
+                logits = model.apply(v, xn)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return w * probs
+
+        if exact:
+            # gather every fold's probability map and add strictly in
+            # fold order: bit-identical to the unsharded sequential fold
+            # loop (the zero-weighted pads contribute exact +0.0)
+            _, probs_l = jax.lax.scan(
+                lambda _, inp: (None, fold_probs(inp)), None,
+                (vars_l, mean_l, std_l, wf_l))
+            parts = jax.lax.all_gather(probs_l, axis_name, axis=0)
+            flat = parts.reshape((n_dev * per,) + parts.shape[2:])
+            acc = flat[0]
+            for i in range(1, n_dev * per):
+                acc = acc + flat[i]
+        else:
+            def body(acc, inputs):
+                return acc + fold_probs(inputs), None
+
+            init = jnp.zeros(x.shape[:3] + (classes,), jnp.float32)
+            acc, _ = jax.lax.scan(body, init,
+                                  (vars_l, mean_l, std_l, wf_l))
+            acc = jax.lax.psum(acc, axis_name)
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+
+    fold = P(axis_name)
+    fn = _shard_map(local, mesh,
+                    in_specs=(fold, fold, fold, fold, P()),
+                    out_specs=P())
+    shard = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return fn(jax.device_put(vars_p, shard), jax.device_put(mean_p, shard),
+              jax.device_put(std_p, shard), jax.device_put(wf, shard),
+              jax.device_put(resized, repl))
