@@ -418,7 +418,10 @@ def bench_segformer(batch: int = 32) -> dict:
         SegformerConfig,
     )
 
-    model = Segformer(SegformerConfig(num_labels=5))
+    # dtype=bfloat16 threads real bf16 compute through the model (an
+    # input-only cast would promote back to f32 at the first f32-param
+    # Dense); params stay f32
+    model = Segformer(SegformerConfig(num_labels=5), dtype=jnp.bfloat16)
     x = jax.random.uniform(jax.random.key(0), (batch, 512, 512, 3),
                            jnp.float32)
     variables = model.init(jax.random.key(1), x[:1])
@@ -428,8 +431,7 @@ def bench_segformer(batch: int = 32) -> dict:
         # scalar output: on this backend block_until_ready can no-op for
         # some buffer states, so timing syncs via a host read of the
         # reduced result (forces the full forward; adds ~nothing itself)
-        return jnp.argmax(model.apply(v, b.astype(jnp.bfloat16)),
-                          -1).sum()
+        return jnp.argmax(model.apply(v, b), -1).sum()
 
     for _ in range(3):
         float(forward(variables, x))

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--input_size", type=int, default=512,
                         help="feature-extractor resize target")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute on the MXU; parameters, "
+                             "optimizer state and norm statistics stay "
+                             "float32 (default: full float32)")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard batches over an N-device mesh "
                              "(-1 = all devices; 0 = single device)")

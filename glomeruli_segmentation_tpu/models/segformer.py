@@ -11,11 +11,18 @@ caller upsamples to label size, ``train.py:46-52``).
 
 Weight import from an HF checkpoint state dict is in
 :mod:`..convert.segformer_import`.
+
+Mixed precision: every module threads an optional ``dtype`` (flax
+convention).  ``dtype=jnp.bfloat16`` runs the matmul-heavy encoder/head
+in bf16 on the MXU while parameters and LayerNorm/BatchNorm statistics
+stay float32 (flax normalization reduces in f32); attention softmax is
+computed in f32 for stability.  ``dtype=None`` (default) is the
+f32 HF-parity path.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,15 +48,17 @@ class OverlapPatchEmbed(nn.Module):
     patch_size: int
     stride: int
     eps: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         p = self.patch_size // 2
         x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
                     strides=(self.stride, self.stride),
-                    padding=((p, p), (p, p)), name="proj")(x)
+                    padding=((p, p), (p, p)), dtype=self.dtype,
+                    name="proj")(x)
         n, h, w, c = x.shape
-        x = nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")(x)
         return x, h, w
 
 
@@ -58,23 +67,25 @@ class EfficientAttention(nn.Module):
     heads: int
     sr_ratio: int
     eps: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         n, _, c = x.shape
         head_dim = c // self.heads
-        q = nn.Dense(c, name="q")(x)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
         if self.sr_ratio > 1:
             kv_in = x.reshape(n, h, w, c)
             kv_in = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
-                            name="sr")(kv_in)
+                            dtype=self.dtype, name="sr")(kv_in)
             kv_in = kv_in.reshape(n, -1, c)
-            kv_in = nn.LayerNorm(epsilon=self.eps, name="sr_norm")(kv_in)
+            kv_in = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                                 name="sr_norm")(kv_in)
         else:
             kv_in = x
-        k = nn.Dense(c, name="k")(kv_in)
-        v = nn.Dense(c, name="v")(kv_in)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(kv_in)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(kv_in)
 
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], self.heads,
@@ -82,27 +93,32 @@ class EfficientAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         attn = jnp.einsum("nhqd,nhkd->nhqk", q, k) / jnp.sqrt(
-            jnp.asarray(head_dim, x.dtype))
-        attn = jax.nn.softmax(attn, axis=-1)
+            jnp.asarray(head_dim, q.dtype))
+        # softmax in f32 regardless of compute dtype (bf16 exp over long
+        # key rows loses the tail), cast back for the value matmul
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)
         out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, -1, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class MixFFN(nn.Module):
     dim: int
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         n, _, c = x.shape
-        x = nn.Dense(self.hidden, name="dense1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="dense1")(x)
         x = x.reshape(n, h, w, self.hidden)
         x = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
-                    feature_group_count=self.hidden, name="dwconv")(x)
+                    feature_group_count=self.hidden, dtype=self.dtype,
+                    name="dwconv")(x)
         x = x.reshape(n, -1, self.hidden)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, name="dense2")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="dense2")(x)
 
 
 class SegformerBlock(nn.Module):
@@ -111,20 +127,23 @@ class SegformerBlock(nn.Module):
     sr_ratio: int
     mlp_ratio: int
     eps: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
-        y = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         x = x + EfficientAttention(self.dim, self.heads, self.sr_ratio,
-                                   self.eps, name="attn")(y, h, w)
-        y = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
-        x = x + MixFFN(self.dim, self.dim * self.mlp_ratio,
+                                   self.eps, dtype=self.dtype,
+                                   name="attn")(y, h, w)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
+        x = x + MixFFN(self.dim, self.dim * self.mlp_ratio, dtype=self.dtype,
                        name="mlp")(y, h, w)
         return x
 
 
 class MiTEncoder(nn.Module):
     config: SegformerConfig
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -133,7 +152,7 @@ class MiTEncoder(nn.Module):
         for i in range(len(cfg.hidden_sizes)):
             x, h, w = OverlapPatchEmbed(cfg.hidden_sizes[i],
                                         cfg.patch_sizes[i], cfg.strides[i],
-                                        cfg.layer_norm_eps,
+                                        cfg.layer_norm_eps, dtype=self.dtype,
                                         name=f"patch_embed{i}")(x)
             n = x.shape[0]
             x = x.reshape(n, h * w, cfg.hidden_sizes[i])
@@ -141,9 +160,9 @@ class MiTEncoder(nn.Module):
                 x = SegformerBlock(cfg.hidden_sizes[i],
                                    cfg.num_attention_heads[i],
                                    cfg.sr_ratios[i], cfg.mlp_ratio,
-                                   cfg.layer_norm_eps,
+                                   cfg.layer_norm_eps, dtype=self.dtype,
                                    name=f"block{i}_{j}")(x, h, w)
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                              name=f"norm{i}")(x)
             x = x.reshape(n, h, w, cfg.hidden_sizes[i])
             feats.append(x)
@@ -152,6 +171,7 @@ class MiTEncoder(nn.Module):
 
 class SegformerHead(nn.Module):
     config: SegformerConfig
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -159,29 +179,36 @@ class SegformerHead(nn.Module):
         n, h4, w4, _ = feats[0].shape
         projected = []
         for i, f in enumerate(feats):
-            p = nn.Dense(cfg.decoder_hidden_size, name=f"linear_c{i}")(f)
+            p = nn.Dense(cfg.decoder_hidden_size, dtype=self.dtype,
+                         name=f"linear_c{i}")(f)
             if f.shape[1] != h4:
                 p = jax.image.resize(p, (n, h4, w4, cfg.decoder_hidden_size),
                                      method="bilinear")
             projected.append(p)
         x = jnp.concatenate(projected[::-1], axis=-1)
         x = nn.Conv(cfg.decoder_hidden_size, (1, 1), use_bias=False,
-                    name="linear_fuse")(x)
+                    dtype=self.dtype, name="linear_fuse")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
-        return nn.Conv(cfg.num_labels, (1, 1), name="classifier")(x)
+        return nn.Conv(cfg.num_labels, (1, 1), dtype=self.dtype,
+                       name="classifier")(x)
 
 
 class Segformer(nn.Module):
     """Full model; logits at 1/4 input resolution (HF contract)."""
 
     config: SegformerConfig = SegformerConfig()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = MiTEncoder(self.config, name="encoder")(x)
-        return SegformerHead(self.config, name="head")(feats, train)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        feats = MiTEncoder(self.config, dtype=self.dtype,
+                           name="encoder")(x)
+        return SegformerHead(self.config, dtype=self.dtype,
+                             name="head")(feats, train)
 
 
 def config_from_variables(variables, num_labels=None) -> SegformerConfig:

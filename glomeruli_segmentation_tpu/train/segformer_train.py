@@ -102,6 +102,9 @@ def build_steps(model, tx, mesh=None):
             logits, upd = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=True,
                 mutable=["batch_stats"])
+            # upsample + loss reduce in f32 whatever the model compute
+            # dtype (--bf16 keeps masters/BN stats f32; see espnet_train)
+            logits = logits.astype(jnp.float32)
             up = upsample_logits(logits, y.shape[1], y.shape[2])
             return _ce_ignore(up, y), upd["batch_stats"]
 
@@ -196,6 +199,9 @@ def train_segformer(args) -> str:
     print(f"Number of validation examples: {len(val_ds)}")
 
     config = SegformerConfig(num_labels=args.num_labels)
+    # --bf16: encoder/head matmuls in bfloat16 on the MXU; params,
+    # optimizer state and norm statistics stay f32 (models/segformer.py)
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else None
     sample = jnp.zeros((1, 512, 512, 3), jnp.float32)
     if getattr(args, "pretrained_checkpoint", None):
         from ..convert.segformer_import import load_segformer_variables
@@ -209,7 +215,7 @@ def train_segformer(args) -> str:
 
         config = _dc.replace(config_from_variables(variables),
                              num_labels=args.num_labels)
-        model = Segformer(config)
+        model = Segformer(config, dtype=dtype)
         init = model.init(jax.random.key(0), sample, train=True)
 
         # transfer-learning merge (SegFormer/train/train.py:140-141): take
@@ -241,7 +247,7 @@ def train_segformer(args) -> str:
         print(f"pretrained checkpoint loaded "
               f"({n_loaded} tensors adopted)")
     else:
-        model = Segformer(config)
+        model = Segformer(config, dtype=dtype)
         variables = model.init(jax.random.key(0), sample, train=True)
     params, batch_stats = variables["params"], variables["batch_stats"]
 

@@ -272,3 +272,59 @@ def test_pretrained_mit_b0_training_flow(tmp_path, capsys):
     n = int(stdout.split("pretrained checkpoint loaded (")[1].split()[0])
     assert n == 192, stdout
     assert "log.txt" in os.listdir(out_dir)
+
+
+def test_segformer_bf16_mixed_precision():
+    """--bf16 SegFormer: bf16 compute, f32 masters/statistics.
+
+    Same contract as the ESPNet trainer's --bf16: identical param tree,
+    bf16 logits, f32 BN stats, and a training-step loss close to f32.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from glomeruli_segmentation_tpu.models.segformer import (
+        Segformer,
+        SegformerConfig,
+    )
+    from glomeruli_segmentation_tpu.train.segformer_train import build_steps
+
+    cfg = SegformerConfig(num_labels=3, hidden_sizes=(8, 16, 40, 64),
+                          depths=(1, 1, 1, 1), sr_ratios=(8, 4, 2, 1),
+                          patch_sizes=(7, 3, 3, 3), mlp_ratio=2,
+                          decoder_hidden_size=32)
+    f32 = Segformer(cfg)
+    bf16 = Segformer(cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, (2, 64, 64)), jnp.int32)
+    variables = f32.init(jax.random.key(0), x[:1], train=True)
+    assert (jax.tree.structure(bf16.init(jax.random.key(0), x[:1],
+                                         train=True))
+            == jax.tree.structure(variables))
+
+    logits, upd = bf16.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    assert logits.dtype == jnp.bfloat16
+    assert all(s.dtype == jnp.float32
+               for s in jax.tree.leaves(upd["batch_stats"]))
+
+    tx = optax.adamw(6e-5)
+    losses = {}
+    for name, model in (("f32", f32), ("bf16", bf16)):
+        train_step, _ = build_steps(model, tx)
+        p, bs, _, loss = train_step(variables["params"],
+                                    variables["batch_stats"],
+                                    tx.init(variables["params"]), x, y)
+        assert all(g.dtype == jnp.float32 for g in jax.tree.leaves(p))
+        losses[name] = float(loss)
+    np.testing.assert_allclose(losses["bf16"], losses["f32"], rtol=5e-2)
+
+    # CLI flag exists and defaults off
+    from glomeruli_segmentation_tpu.cli.segformer_train import build_parser
+    base = ["--data_root", "/tmp", "--data_date", "d",
+            "--model_root", "/tmp", "--site", "01_Todai"]
+    assert build_parser().parse_args(base).bf16 is False
+    assert build_parser().parse_args(base + ["--bf16"]).bf16 is True
