@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--backbone", default="resnet50",
                         choices=["resnet50", "tiny"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute on the MXU for the native "
+                             "detector; params, BN statistics and box "
+                             "math stay float32 (default: full float32)")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard window batches over an N-device mesh "
                              "(0 = off, -1 = all devices); params and "
@@ -56,7 +60,7 @@ def main(argv=None):
         backbone=args.backbone)
     path = train_detector(args.staining, args.data_dir, args.target_list,
                           args.output_dir, config, model_config,
-                          data_parallel=args.data_parallel)
+                          data_parallel=args.data_parallel, bf16=args.bf16)
     print(f"saved {path}")
 
 

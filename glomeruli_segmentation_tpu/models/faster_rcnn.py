@@ -18,7 +18,7 @@ boxes, scores, 1-based float classes, and ``num_detections``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,13 +68,19 @@ class FasterRCNNConfig:
 
 class RPNHead(nn.Module):
     num_anchors: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat):
-        x = nn.relu(nn.Conv(512, (3, 3), padding="SAME", name="conv")(feat))
-        objectness = nn.Conv(self.num_anchors * 2, (1, 1), name="cls")(x)
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="box")(x)
-        return objectness, deltas
+        x = nn.relu(nn.Conv(512, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="conv")(feat))
+        objectness = nn.Conv(self.num_anchors * 2, (1, 1), dtype=self.dtype,
+                             name="cls")(x)
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                         name="box")(x)
+        # box decode / NMS numerics stay f32 whatever the compute dtype
+        # (matches the OD-API model, od_api_frcnn.py:133-134)
+        return objectness.astype(jnp.float32), deltas.astype(jnp.float32)
 
 
 class BoxHead(nn.Module):
@@ -82,17 +88,21 @@ class BoxHead(nn.Module):
 
     num_classes: int
     backbone: str
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, roi_feats, train: bool = False):
         if self.backbone == "resnet50":
-            x = ResNetBlock4(name="block4")(roi_feats, train)
+            x = ResNetBlock4(dtype=self.dtype, name="block4")(roi_feats,
+                                                              train)
         else:
-            x = TinyHead(name="tiny_head")(roi_feats, train)
+            x = TinyHead(dtype=self.dtype, name="tiny_head")(roi_feats, train)
         x = x.mean(axis=(1, 2))  # global average pool
-        scores = nn.Dense(self.num_classes + 1, name="cls")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="box")(x)
-        return scores, deltas
+        scores = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                          name="cls")(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          name="box")(x)
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
 
 
 class FasterRCNN(nn.Module):
@@ -100,15 +110,18 @@ class FasterRCNN(nn.Module):
     :meth:`detect` applies the inference post-processing."""
 
     config: FasterRCNNConfig = FasterRCNNConfig()
+    dtype: Any = None  # bf16 MXU compute; params/BN stats/box math stay f32
 
     def setup(self):
         cfg = self.config
         if cfg.backbone == "resnet50":
-            self.extractor = ResNetC4(name="backbone")
+            self.extractor = ResNetC4(dtype=self.dtype, name="backbone")
         else:
-            self.extractor = TinyBackbone(name="backbone")
-        self.rpn = RPNHead(cfg.num_anchors_per_cell, name="rpn")
-        self.box_head = BoxHead(cfg.num_classes, cfg.backbone, name="box_head")
+            self.extractor = TinyBackbone(dtype=self.dtype, name="backbone")
+        self.rpn = RPNHead(cfg.num_anchors_per_cell, dtype=self.dtype,
+                           name="rpn")
+        self.box_head = BoxHead(cfg.num_classes, cfg.backbone,
+                                dtype=self.dtype, name="box_head")
 
     def preprocess(self, images: jax.Array) -> jax.Array:
         means = jnp.asarray(self.config.pixel_means, images.dtype

@@ -143,9 +143,13 @@ class JaxDetectorBackend(DetectorBackend):
         key = (h, w)
         if key not in self._compiled:
             cfg = dataclasses.replace(self.base_config, image_size=(h, w))
-            model = FasterRCNN(cfg)
-            anchors = build_anchors(cfg)
             dtype = jnp.dtype(self.compute_dtype)
+            # thread the compute dtype into the model: casting only the
+            # input would promote back to f32 at the first f32-param conv
+            # (flax dtype=None promotes); box decode/NMS stay f32 inside
+            model = FasterRCNN(cfg, dtype=None if dtype == jnp.float32
+                               else dtype)
+            anchors = build_anchors(cfg)
 
             def fn(variables, images):
                 return model.apply(variables, images.astype(dtype),

@@ -160,12 +160,15 @@ def train_detector(staining: str, data_dir: str, target_list: str,
                    output_dir: str,
                    config: Optional[DetectorTrainConfig] = None,
                    model_config=None, log_every: int = 50,
-                   data_parallel: int = 0) -> str:
+                   data_parallel: int = 0, bf16: bool = False) -> str:
     """Train and save ``detector.ckpt.pth``; returns its path.
 
     ``data_parallel=N`` shards the window batch over an N-device mesh
     (params/optimizer replicated; GSPMD inserts the gradient reduction
-    over ICI) — the reference trains single-GPU (SURVEY.md §2.11)."""
+    over ICI) — the reference trains single-GPU (SURVEY.md §2.11).
+    ``bf16`` runs backbone/head convs in bfloat16 on the MXU (params,
+    BN statistics, box decode and the loss stay f32, matching the
+    ESPNet/SegFormer trainers' --bf16)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -185,7 +188,8 @@ def train_detector(staining: str, data_dir: str, target_list: str,
     sampler = SlideWindowSampler(staining, data_dir, target_list, config)
     rng = np.random.default_rng(config.seed)
 
-    model = FasterRCNN(model_config)
+    model = FasterRCNN(model_config,
+                       dtype=jnp.bfloat16 if bf16 else None)
     anchors = build_anchors(model_config)
     x0, b0, c0, v0 = sampler.sample_batch(rng)
     variables = model.init(jax.random.key(config.seed),
