@@ -68,12 +68,14 @@ def bench_ours() -> float:
 
         call = lambda: float(forward(x))
     else:
-        model = ESPNet(classes=5, p=2, q=8)
+        # dtype threads real bf16 compute (input-only casts promote back
+        # to f32 at the first f32-param conv)
+        model = ESPNet(classes=5, p=2, q=8, dtype=jnp.bfloat16)
         variables = model.init(jax.random.key(1), x[:1])
 
         @jax.jit
         def forward(v, batch):
-            logits = model.apply(v, batch.astype(jnp.bfloat16))
+            logits = model.apply(v, batch)
             return jnp.argmax(logits, axis=-1).sum()
 
         call = lambda: float(forward(variables, x))

@@ -90,6 +90,10 @@ def fold_parallel_argmax(mesh: Mesh, model, stacked_vars: Any,
         the reference).
       resized: (B, H, W, 3) float crops at network resolution (the
         output of the pipeline's cv2-exact dynamic resize).
+      compute_dtype: dtype of the normalized input.  For genuine bf16
+        *compute* build the model with ``dtype=jnp.bfloat16`` as well —
+        an input-only cast promotes back to f32 at the first f32-param
+        conv (flax ``dtype=None`` promotes).
       exact: ordered all_gather combine (bit-identical to the unsharded
         fold loop) vs a reassociating psum.
     Returns (B, H, W) uint8 class maps, replicated over the mesh.

@@ -106,7 +106,14 @@ class EnsembleSegmenter:
                               if engine == "xla" else None)
         self.mean = jnp.asarray(means, jnp.float32)  # (F, 3) BGR
         self.std = jnp.asarray(stds, jnp.float32)
-        self.model = ESPNet(config.classes, config.p, config.q)
+        # thread the compute dtype into the flax model (xla engine): an
+        # input-only bf16 cast would promote back to f32 at the first
+        # f32-param conv; the fused/packed engines cast their packed
+        # weights explicitly instead
+        _mdtype = jnp.dtype(config.compute_dtype)
+        self.model = ESPNet(config.classes, config.p, config.q,
+                            dtype=None if _mdtype == jnp.float32
+                            else _mdtype)
         if engine == "packed":
             # Fold-packed ensemble: all folds ride one channel axis with
             # block-diagonal convs, paying the latency-bound small-channel
