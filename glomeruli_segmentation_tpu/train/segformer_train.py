@@ -20,7 +20,11 @@ label size; replicated here with the bilinear upsample op.
 TPU-native: ``--data_parallel N`` shards batches over an N-device mesh
 (params/optimizer replicated, loss a global psum); ragged batches pad
 images by repetition and labels with ignore_index so padded rows stay
-out of the loss (``_pad_batch``).
+out of the loss (``_pad_batch``).  ``--bf16`` is the TPU analogue of the
+reference recipe's own mixed precision (``fp16=True``,
+``train.py:242``): bf16 MXU compute with f32 masters and statistics.
+``--accumulation_steps k`` mirrors HF ``gradient_accumulation_steps``
+via ``optax.MultiSteps``.
 """
 from __future__ import annotations
 
@@ -255,6 +259,13 @@ def train_segformer(args) -> str:
     warmup = epoch_steps * args.save_interval
     schedule = optax.linear_schedule(0.0, args.lr, warmup)
     tx = optax.adamw(schedule)
+    # gradient accumulation (reference: TrainingArguments
+    # gradient_accumulation_steps, SegFormer/train/train.py:232): grads
+    # average over k micro-batches and the optimizer (and its warmup
+    # schedule) steps once per k, exactly HF's accounting
+    accum = max(1, int(getattr(args, "accumulation_steps", 1) or 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     opt_state = tx.init(params)
 
     mesh = _build_mesh(args)

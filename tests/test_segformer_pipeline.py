@@ -328,3 +328,50 @@ def test_segformer_bf16_mixed_precision():
             "--model_root", "/tmp", "--site", "01_Todai"]
     assert build_parser().parse_args(base).bf16 is False
     assert build_parser().parse_args(base + ["--bf16"]).bf16 is True
+
+
+def test_segformer_gradient_accumulation():
+    """--accumulation_steps k (HF gradient_accumulation_steps,
+    SegFormer/train/train.py:232): the optimizer applies once per k
+    micro-batches with the averaged gradient; params are unchanged on
+    non-boundary micro-steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from glomeruli_segmentation_tpu.models.segformer import (
+        Segformer,
+        SegformerConfig,
+    )
+    from glomeruli_segmentation_tpu.train.segformer_train import build_steps
+
+    cfg = SegformerConfig(num_labels=3, hidden_sizes=(8, 16, 40, 64),
+                          depths=(1, 1, 1, 1), sr_ratios=(8, 4, 2, 1),
+                          patch_sizes=(7, 3, 3, 3), mlp_ratio=2,
+                          decoder_hidden_size=32)
+    model = Segformer(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, (2, 64, 64)), jnp.int32)
+    variables = model.init(jax.random.key(0), x[:1], train=True)
+
+    tx = optax.MultiSteps(optax.adamw(6e-5), every_k_schedule=2)
+    train_step, _ = build_steps(model, tx)
+    p0 = variables["params"]
+    p1, bs, opt, loss1 = train_step(p0, variables["batch_stats"],
+                                    tx.init(p0), x, y)
+    # micro-step 1 of 2: gradient banked, parameters untouched
+    flat0 = np.concatenate([np.ravel(v) for v in jax.tree.leaves(p0)])
+    flat1 = np.concatenate([np.ravel(v) for v in jax.tree.leaves(p1)])
+    np.testing.assert_array_equal(flat0, flat1)
+    # micro-step 2: the averaged gradient applies
+    p2, _, opt, loss2 = train_step(p1, bs, opt, x, y)
+    flat2 = np.concatenate([np.ravel(v) for v in jax.tree.leaves(p2)])
+    assert not np.array_equal(flat1, flat2)
+    assert np.isfinite(loss1) and np.isfinite(loss2)
+
+    # the CLI flag default matches the reference's (train.py:146-148)
+    from glomeruli_segmentation_tpu.cli.segformer_train import build_parser
+    base = ["--data_root", "/tmp", "--data_date", "d",
+            "--model_root", "/tmp", "--site", "01_Todai"]
+    assert build_parser().parse_args(base).accumulation_steps == 1
