@@ -78,6 +78,7 @@ def pad_folds(stacked_vars: Any, mean: jax.Array, std: jax.Array,
 def fold_parallel_argmax(mesh: Mesh, model, stacked_vars: Any,
                          mean: jax.Array, std: jax.Array,
                          resized: jax.Array, *, axis_name: str = "data",
+                         data_axis: str | None = None,
                          compute_dtype=jnp.float32,
                          precision: str = "highest",
                          exact: bool = True) -> jax.Array:
@@ -96,7 +97,12 @@ def fold_parallel_argmax(mesh: Mesh, model, stacked_vars: Any,
         conv (flax ``dtype=None`` promotes).
       exact: ordered all_gather combine (bit-identical to the unsharded
         fold loop) vs a reassociating psum.
-    Returns (B, H, W) uint8 class maps, replicated over the mesh.
+      data_axis: optional second mesh axis to shard the *batch* over —
+        the 2-D dp x ep composition: each (data, fold) submesh cell runs
+        its batch shard through its fold slice; the fold combine rides
+        only ``axis_name``, so no cross-batch collective is needed.
+    Returns (B, H, W) uint8 class maps (replicated over the mesh, or
+    sharded over ``data_axis`` when given).
     """
     n_dev = mesh.shape[axis_name]
     classes = model.classes
@@ -137,11 +143,11 @@ def fold_parallel_argmax(mesh: Mesh, model, stacked_vars: Any,
         return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
 
     fold = P(axis_name)
+    batch_spec = P() if data_axis is None else P(data_axis)
     fn = _shard_map(local, mesh,
-                    in_specs=(fold, fold, fold, fold, P()),
-                    out_specs=P())
-    shard = NamedSharding(mesh, P(axis_name))
-    repl = NamedSharding(mesh, P())
+                    in_specs=(fold, fold, fold, fold, batch_spec),
+                    out_specs=batch_spec)
+    shard = NamedSharding(mesh, fold)
     return fn(jax.device_put(vars_p, shard), jax.device_put(mean_p, shard),
               jax.device_put(std_p, shard), jax.device_put(wf, shard),
-              jax.device_put(resized, repl))
+              jax.device_put(resized, NamedSharding(mesh, batch_spec)))

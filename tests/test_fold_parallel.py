@@ -83,3 +83,20 @@ def test_fold_parallel_multiple_folds_per_device():
     expect = _sequential_argmax(model, stacked, mean, std, x)
     got = fold_parallel_argmax(mesh, model, stacked, mean, std, x)
     np.testing.assert_array_equal(np.asarray(got), expect)
+
+
+def test_fold_parallel_composes_with_data_parallelism():
+    """2-D dp x ep mesh: batch sharded over 'data' (2), folds over
+    'fold' (4, with zero-weight pads for 5 folds); output equals the
+    sequential fold loop on the full batch."""
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "fold"))
+    model, stacked, mean, std = _make_ensemble(5, seed=4)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.uniform(0, 255, (4, 16, 32, 3)), jnp.float32)
+    expect = _sequential_argmax(model, stacked, mean, std, x)
+    got = fold_parallel_argmax(mesh, model, stacked, mean, std, x,
+                               axis_name="fold", data_axis="data")
+    np.testing.assert_array_equal(np.asarray(got), expect)
