@@ -152,8 +152,12 @@ class JaxDetectorBackend(DetectorBackend):
             anchors = build_anchors(cfg)
 
             def fn(variables, images):
-                return model.apply(variables, images.astype(dtype),
-                                   anchors, method=FasterRCNN.detect)
+                # no input cast: preprocess subtracts the pixel means in
+                # f32 exactly, then the backbone casts to the compute
+                # dtype (casting the raw pixels first would round the
+                # means in bf16 for no gain)
+                return model.apply(variables, images, anchors,
+                                   method=FasterRCNN.detect)
 
             if self.mesh is not None:
                 fn = _shard_detect_fn(self.mesh, fn, 2)

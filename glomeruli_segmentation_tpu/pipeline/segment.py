@@ -90,7 +90,12 @@ class EspnetSegmenter:
                   if k.startswith("encoder.")}
         self.variables = jax.tree.map(jnp.asarray, state_dict_to_variables(sd))
         cls = ESPNet if config.decoder else ESPNetEncoder
-        self.model = cls(classes=config.classes, p=config.p, q=config.q)
+        # thread the compute dtype into the flax model: an input-only
+        # cast promotes back to f32 at the first f32-param conv (the
+        # fused engine casts its packed weights explicitly instead)
+        _mdtype = jnp.dtype(config.compute_dtype)
+        self.model = cls(classes=config.classes, p=config.p, q=config.q,
+                         dtype=None if _mdtype == jnp.float32 else _mdtype)
         self._fused = None
         if config.engine == "fused":
             from ..models.espnet_fused import FusedESPNet

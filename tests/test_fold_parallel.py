@@ -100,3 +100,34 @@ def test_fold_parallel_composes_with_data_parallelism():
     got = fold_parallel_argmax(mesh, model, stacked, mean, std, x,
                                axis_name="fold", data_axis="data")
     np.testing.assert_array_equal(np.asarray(got), expect)
+
+
+def test_fold_parallel_ensemble_reuses_compiled_program():
+    """FoldParallelEnsemble builds once: repeat same-shape calls hit the
+    jit trace cache (no per-batch retrace/re-upload)."""
+    from glomeruli_segmentation_tpu.parallel.fold_parallel import (
+        FoldParallelEnsemble,
+    )
+
+    mesh = make_mesh(8)
+    model, stacked, mean, std = _make_ensemble(3, seed=6)
+    ens = FoldParallelEnsemble(mesh, model, stacked, mean, std)
+    rng = np.random.RandomState(7)
+    x1 = jnp.asarray(rng.uniform(0, 255, (2, 16, 32, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 255, (2, 16, 32, 3)), jnp.float32)
+    m1 = np.asarray(ens(x1))
+    m2 = np.asarray(ens(x2))
+    assert ens._fn._cache_size() == 1
+    np.testing.assert_array_equal(
+        m1, _sequential_argmax(model, stacked, mean, std, x1))
+    np.testing.assert_array_equal(
+        m2, _sequential_argmax(model, stacked, mean, std, x2))
+
+    # the data-axis divisibility guard raises the explicit error
+    from jax.sharding import Mesh
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 ("data", "fold"))
+    ens2 = FoldParallelEnsemble(mesh2, model, stacked, mean, std,
+                                axis_name="fold", data_axis="data")
+    with pytest.raises(ValueError, match="multiple of"):
+        ens2(jnp.zeros((3, 16, 32, 3), jnp.float32))
