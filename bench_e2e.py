@@ -247,6 +247,25 @@ def _fused_breakdown(ensemble, slide, detections) -> dict:
     maps = np.asarray(out)  # forces exec + d2h (CLAUDE.md timing rule)
     t_exec_d2h = time.perf_counter() - t0
 
+    # flat ragged transfer (the single-device production default): bytes
+    # crossing the link are exactly the crop content
+    from glomeruli_segmentation_tpu.ops.preprocess import pack_crops_flat
+
+    t0 = time.perf_counter()
+    flat, offs, fhs, fws = pack_crops_flat(crops, bs, max_w=max_w)
+    t_pack = time.perf_counter() - t0
+    np.asarray(ensemble._forward_flat(  # warm the flat program
+        jax.device_put(flat), jax.device_put(offs), jax.device_put(fhs),
+        jax.device_put(fws), max_h, max_w))
+    d_f, t_h2d_flat = timed_put(flat)
+    d_o, t1 = timed_put(offs)
+    d_fh, t2 = timed_put(fhs)
+    d_fw, t3 = timed_put(fws)
+    t_h2d_flat += t1 + t2 + t3
+    t0 = time.perf_counter()
+    np.asarray(ensemble._forward_flat(d_f, d_o, d_fh, d_fw, max_h, max_w))
+    t_exec_d2h_flat = time.perf_counter() - t0
+
     # host cv2 pre-resize staging cost for the same crops
     import cv2
 
@@ -270,10 +289,14 @@ def _fused_breakdown(ensemble, slide, detections) -> dict:
         "batch": bs,
         "bytes_full": int(padded.nbytes),
         "bytes_resized": int(resized.nbytes),
+        "bytes_flat": int(flat.nbytes),
         "crop_read_s": round(t_read, 3),
         "pad_stage_s": round(t_pad, 3),
         "h2d_full_s": round(t_h2d, 3),
         "exec_d2h_s": round(t_exec_d2h, 3),
+        "flat_pack_s": round(t_pack, 3),
+        "h2d_flat_s": round(t_h2d_flat, 3),
+        "exec_d2h_flat_s": round(t_exec_d2h_flat, 3),
         "host_resize_s": round(t_host_resize, 3),
         "h2d_resized_s": round(t_h2d_resized, 3),
         "exec_d2h_resized_s": round(t_exec_d2h_resized, 3),

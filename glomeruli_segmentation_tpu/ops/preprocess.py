@@ -93,6 +93,69 @@ def preprocess_batch_device(padded: jax.Array, heights: jax.Array,
     return jax.vmap(one)(padded, heights, widths)
 
 
+def unflatten_crops(flat: jax.Array, offsets: jax.Array, heights: jax.Array,
+                    widths: jax.Array, max_h: int, max_w: int) -> jax.Array:
+    """Reconstruct a padded crop batch from a ragged flat byte buffer.
+
+    Host->device transfer of padded crop batches wastes bytes two ways:
+    per-crop padding to the batch max shape, and the batch max itself
+    (one large crop forces every crop's pad).  The flat layout ships each
+    crop's raw ``h*w*3`` bytes back to back — transfer is exactly the crop
+    content — and this kernel rebuilds the padded (B, max_h, max_w, 3)
+    view on device as row-contiguous DMA gathers (one ``dynamic_slice``
+    per output row, vmapped), which XLA lowers to bulk copies rather than
+    element gathers.
+
+    Rows past a crop's valid height repeat its last row, and bytes past a
+    row's valid width alias the next row's data — both regions are never
+    read downstream (:func:`resize_bilinear_dynamic` clips its sample
+    indices to the valid extent).  The caller must leave ``max_w * 3``
+    slack bytes at the end of ``flat`` so no valid row's slice is clamped.
+    """
+    length = flat.shape[0]
+    maxw3 = max_w * 3
+
+    def one(off, h, w):
+        row = jnp.minimum(jnp.arange(max_h, dtype=jnp.int32), h - 1)
+        starts = off + row * (w * 3)
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (maxw3,)))(starts)
+        return rows.reshape(max_h, max_w, 3)
+
+    del length  # bounds are the caller's slack contract (docstring)
+    return jax.vmap(one)(offsets, heights, widths)
+
+
+def pack_crops_flat(crops, batch_size: int, max_w: int = 0,
+                    bucket_bytes: int = 1 << 21):
+    """Pack ragged HWC uint8 crops into one flat transfer buffer.
+
+    Returns ``(flat, offsets, heights, widths)`` where ``flat`` is a 1-D
+    uint8 array holding each crop's bytes back to back, length rounded up
+    to ``bucket_bytes`` (bounds the number of distinct compiled programs
+    across a slide's ragged batches).  ``max_w`` must be at least the
+    padded width :func:`unflatten_crops` will be called with (its
+    ``max_w * 3``-byte row slices must never reach past the buffer end, or
+    XLA's dynamic-slice clamping would shift — and corrupt — the last
+    crop's tail rows).  Empty batch slots get offset 0 and size 1x1.
+    """
+    n = len(crops)
+    offsets = np.zeros(batch_size, np.int64)
+    heights = np.ones(batch_size, np.int32)
+    widths = np.ones(batch_size, np.int32)
+    pos = 0
+    for i, c in enumerate(crops):
+        offsets[i] = pos
+        heights[i], widths[i] = c.shape[:2]
+        pos += c.shape[0] * c.shape[1] * 3
+    slack = max(int(widths.max()), max_w) * 3
+    total = -(-(pos + slack) // bucket_bytes) * bucket_bytes
+    flat = np.zeros(total, np.uint8)
+    for i, c in enumerate(crops[:n]):
+        flat[offsets[i]: offsets[i] + c.size] = c.reshape(-1)
+    return flat, offsets.astype(np.int32), heights, widths
+
+
 def postprocess_nearest_host(class_map: np.ndarray, out_h: int,
                              out_w: int) -> np.ndarray:
     """cv2 INTER_NEAREST resize of the argmax map back to crop size (host)."""

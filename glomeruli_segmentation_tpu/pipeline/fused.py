@@ -26,7 +26,7 @@ import numpy as np
 
 from ..convert.espnet_import import load_espnet_variables
 from ..models.espnet import ESPNet
-from ..ops.preprocess import resize_bilinear_dynamic
+from ..ops.preprocess import resize_bilinear_dynamic, unflatten_crops
 
 # fold -> (BGR mean, BGR std), reference README.md:243-249
 FOLD_NORMALIZATION = {
@@ -183,6 +183,14 @@ class EnsembleSegmenter:
             self._forward_resized = jax.jit(self._forward_resized_impl)
             self._forward_gather_resized = jax.jit(
                 self._forward_gather_resized_impl)
+        # flat (ragged) crop transfer: bytes crossing the link are exactly
+        # the crop content — no per-crop padding, no batch-max coupling.
+        # Single-device only: a flat buffer has no meaningful 'data'-axis
+        # sharding (FusedSlideSegmenter falls back to padded under a mesh).
+        self._forward_flat = jax.jit(self._forward_flat_impl,
+                                     static_argnums=(4, 5))
+        self._forward_gather_flat = jax.jit(self._forward_gather_flat_impl,
+                                            static_argnums=(6, 7))
 
     def _resize_batch(self, padded: jax.Array, heights: jax.Array,
                       widths: jax.Array) -> jax.Array:
@@ -303,6 +311,46 @@ class EnsembleSegmenter:
 
         return jax.vmap(one)(maps, ys, xs)
 
+    def _forward_flat_impl(self, flat: jax.Array, offsets: jax.Array,
+                           heights: jax.Array, widths: jax.Array,
+                           max_h: int, max_w: int) -> jax.Array:
+        """Ragged flat crop buffer -> (B, in_h, in_w) uint8 argmax.
+
+        ``flat`` holds each crop's raw bytes back to back
+        (:func:`..ops.preprocess.pack_crops_flat`); the padded batch view
+        is rebuilt on device so only the crop content crosses the (slow,
+        exec-serialized on this tunnel) host->device link."""
+        padded = unflatten_crops(flat, offsets, heights, widths,
+                                 max_h, max_w)
+        return self._forward_impl(padded, heights, widths)
+
+    def _forward_gather_flat_impl(self, flat: jax.Array, offsets: jax.Array,
+                                  heights: jax.Array, widths: jax.Array,
+                                  ys: jax.Array, xs: jax.Array,
+                                  max_h: int, max_w: int) -> jax.Array:
+        """Flat-transfer variant of :meth:`_forward_gather_impl`."""
+        padded = unflatten_crops(flat, offsets, heights, widths,
+                                 max_h, max_w)
+        return self._forward_gather_impl(padded, heights, widths, ys, xs)
+
+    def submit_batch_flat(self, flat: np.ndarray, offsets: np.ndarray,
+                          heights: np.ndarray, widths: np.ndarray,
+                          max_h: int, max_w: int):
+        """Async flat-transfer forward (full-resolution class maps)."""
+        return self._forward_flat(
+            jax.device_put(flat), jax.device_put(offsets),
+            jax.device_put(heights), jax.device_put(widths), max_h, max_w)
+
+    def submit_batch_gather_flat(self, flat: np.ndarray, offsets: np.ndarray,
+                                 heights: np.ndarray, widths: np.ndarray,
+                                 ys: np.ndarray, xs: np.ndarray,
+                                 max_h: int, max_w: int):
+        """Async flat-transfer forward + on-device /8 stitch gather."""
+        return self._forward_gather_flat(
+            jax.device_put(flat), jax.device_put(offsets),
+            jax.device_put(heights), jax.device_put(widths),
+            jax.device_put(ys), jax.device_put(xs), max_h, max_w)
+
     def segment_batch_gather(self, padded: np.ndarray, heights: np.ndarray,
                              widths: np.ndarray, ys: np.ndarray,
                              xs: np.ndarray) -> np.ndarray:
@@ -370,16 +418,34 @@ class FusedSlideSegmenter:
     """
 
     def __init__(self, ensemble: EnsembleSegmenter,
-                 host_resize: bool = False):
+                 host_resize: bool = False, transfer: str = "auto"):
         """``host_resize``: cv2-resize each crop to the network input
         resolution on the host (producer thread) and ship the batch in
         the compute dtype.  Transfer becomes O(net input) instead of
         O(crop) — the staging-cost lever for large crops on a degraded
         host->device link (VERDICT r2 weak 1); numerically equivalent to
         the on-device resize (same half-pixel sampling; differences sit
-        below the bf16 operand truncation of the default path)."""
+        below the bf16 operand truncation of the default path).
+
+        ``transfer``: ``"flat"`` ships each batch as one ragged byte
+        buffer (crop content only — no per-crop padding, no batch-max
+        coupling; the padded view is rebuilt on device, byte-identical
+        results) and is the ``"auto"`` default on a single device, where
+        h2d serializes with execution on this tunnel so bytes saved are
+        wall time saved.  ``"padded"`` is the per-batch max-shape layout
+        (required under a mesh — a flat buffer has no 'data'-axis
+        sharding — and by ``host_resize``)."""
         self.ensemble = ensemble
         self.host_resize = host_resize
+        if transfer == "auto":
+            transfer = ("padded" if host_resize
+                        or ensemble._data_sharding is not None else "flat")
+        assert transfer in ("flat", "padded")
+        if transfer == "flat" and (host_resize
+                                   or ensemble._data_sharding is not None):
+            raise ValueError(
+                "transfer='flat' is single-device, full-resolution only")
+        self.transfer = transfer
 
     def segment_slide(self, slide, detections: List[List[float]],
                       progress: bool = False, on_crop=None) -> np.ndarray:
@@ -433,15 +499,22 @@ class FusedSlideSegmenter:
                     padded[i] = cv2.resize(
                         c.astype(np.float32), (net_w, net_h),
                         interpolation=cv2.INTER_LINEAR).astype(dtype)
+            elif self.transfer == "flat":
+                from ..ops.preprocess import pack_crops_flat
+
+                flat, offs, hs, ws = pack_crops_flat(crops, bs,
+                                                     max_w=max_w)
+                padded = (flat, offs, max_h, max_w)
             else:
                 padded = np.zeros((bs, max_h, max_w, 3), np.uint8)
                 for i, c in enumerate(crops):
                     padded[i, : c.shape[0], : c.shape[1]] = c
-            hs = np.zeros(bs, np.int32)
-            ws = np.zeros(bs, np.int32)
-            for i, c in enumerate(crops):
-                hs[i], ws[i] = c.shape[:2]
-            hs[n:], ws[n:] = 1, 1
+            if self.transfer != "flat":
+                hs = np.zeros(bs, np.int32)
+                ws = np.zeros(bs, np.int32)
+                for i, c in enumerate(crops):
+                    hs[i], ws[i] = c.shape[:2]
+                hs[n:], ws[n:] = 1, 1
             if not ds8:
                 return chunk, n, padded, hs, ws, None, None
             table_h, table_w = max_h // 8, max_w // 8
@@ -476,6 +549,14 @@ class FusedSlideSegmenter:
                         padded, ys, xs)
                 else:
                     out = self.ensemble.submit_batch_resized(padded)
+            elif self.transfer == "flat":
+                flat, offs, max_h, max_w = padded
+                if ds8:
+                    out = self.ensemble.submit_batch_gather_flat(
+                        flat, offs, hs, ws, ys, xs, max_h, max_w)
+                else:
+                    out = self.ensemble.submit_batch_flat(
+                        flat, offs, hs, ws, max_h, max_w)
             elif ds8:
                 out = self.ensemble.submit_batch_gather(padded, hs, ws,
                                                         ys, xs)

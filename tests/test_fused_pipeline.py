@@ -131,6 +131,63 @@ def test_segment_slide_ds8_matches_full_path_packed(reference_models_dir,
     np.testing.assert_array_equal(ds8, full)
 
 
+def test_pack_unflatten_roundtrip():
+    """unflatten_crops must rebuild exactly the valid region of every crop
+    from the ragged flat buffer (padding content is unspecified — the
+    resize never reads it)."""
+    import jax
+
+    from glomeruli_segmentation_tpu.ops.preprocess import (
+        pack_crops_flat,
+        unflatten_crops,
+    )
+
+    rng = np.random.RandomState(7)
+    sizes = [(300, 400), (512, 256), (123, 457)]
+    crops = [rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+             for h, w in sizes]
+    bs = 4  # one empty slot
+    flat, offs, hs, ws = pack_crops_flat(crops, bs, max_w=512)
+    assert flat.size % (1 << 21) == 0
+    np.testing.assert_array_equal(hs[:3], [300, 512, 123])
+    np.testing.assert_array_equal(ws[:3], [400, 256, 457])
+    assert hs[3] == ws[3] == 1
+    padded = np.asarray(jax.jit(
+        unflatten_crops, static_argnums=(4, 5))(
+            flat, offs, hs, ws, 512, 512))
+    assert padded.shape == (bs, 512, 512, 3)
+    for i, c in enumerate(crops):
+        np.testing.assert_array_equal(
+            padded[i, : c.shape[0], : c.shape[1]], c)
+
+
+def test_flat_transfer_matches_padded(ensemble, tmp_path):
+    """transfer='flat' (the single-device default) must be byte-identical
+    to the padded layout on both the /8-gather and full-res paths."""
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    img, _ = pas_like_image(1024, 1536, seed=33, n_glomeruli=3)
+    path = str(tmp_path / "s.tiff")
+    write_pyramidal_tiff(path, img, mpp=0.25, levels=3)
+    slide = Slide(path)
+    detections = [[256, 256, 640, 640, 0.9], [640, 384, 1021, 763, 0.9],
+                  [100, 700, 450, 1000, 0.9]]
+    flat = FusedSlideSegmenter(ensemble, transfer="flat")
+    assert flat.transfer == "flat"
+    padded = FusedSlideSegmenter(ensemble, transfer="padded")
+    np.testing.assert_array_equal(
+        flat.segment_slide(slide, detections),
+        padded.segment_slide(slide, detections))
+    # full-res (on_crop) path: per-crop class maps must match too
+    maps_f, maps_p = [], []
+    flat.segment_slide(slide, detections,
+                       on_crop=lambda box, m: maps_f.append(m))
+    padded.segment_slide(slide, detections,
+                         on_crop=lambda box, m: maps_p.append(m))
+    for a, b in zip(maps_f, maps_p):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_host_resize_matches_device_resize(ensemble, tmp_path):
     """host_resize=True (cv2 pre-resize on host, compute-dtype transfer)
     must reproduce the on-device dynamic-resize path: same half-pixel
