@@ -168,8 +168,11 @@ def bench_fused_segmentation(slide_path: str, centers) -> dict:
         x1 = int(np.clip(cx - size // 2, 0, SLIDE_W - size))
         y1 = int(np.clip(cy - size // 2, 0, SLIDE_H - size))
         detections.append([x1, y1, x1 + size, y1 + size, 0.95])
-    # warm up compile on the first batch shapes
-    fused.segment_slide(slide, detections[:8])
+    # warm the EXACT timed program: with the flat transfer the buffer
+    # length (quantized to eighths of the padded bytes) is a shape axis,
+    # so a partial-batch warmup would leave the timed run a fresh
+    # multi-minute remote-AOT compile
+    fused.segment_slide(slide, detections)
     t0 = time.perf_counter()
     canvas = fused.segment_slide(slide, detections)
     dt = time.perf_counter() - t0
@@ -252,7 +255,8 @@ def _fused_breakdown(ensemble, slide, detections) -> dict:
     from glomeruli_segmentation_tpu.ops.preprocess import pack_crops_flat
 
     t0 = time.perf_counter()
-    flat, offs, fhs, fws = pack_crops_flat(crops, bs, max_w=max_w)
+    flat, offs, fhs, fws = pack_crops_flat(crops, bs, max_w=max_w,
+                                           max_h=max_h)
     t_pack = time.perf_counter() - t0
     np.asarray(ensemble._forward_flat(  # warm the flat program
         jax.device_put(flat), jax.device_put(offs), jax.device_put(fhs),

@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cv2_resize", action="store_true",
                         help="cv2 half-pixel keep-aspect resize instead of "
                              "the frozen graph's TF1 scale*i sampling")
+    parser.add_argument("--transfer", default="auto",
+                        choices=["auto", "flat", "padded"],
+                        help="crop batch transfer layout: 'flat' ships one "
+                             "ragged byte buffer (crop content only, padded "
+                             "view rebuilt on device — byte-identical); "
+                             "'padded' ships the max-shape batch (required "
+                             "under --data_parallel / --host_resize); "
+                             "'auto' picks flat on a single device")
     parser.add_argument("--host_resize", action="store_true",
                         help="cv2-resize crops to the ESPNet input on host "
                              "before transfer (O(net input) bytes per crop "
@@ -116,7 +124,7 @@ def main(argv=None):
         window_size=args.window_size, overlap_ratio=args.overlap_ratio,
         detect_conf=args.conf_threshold, merge_conf=args.merge_conf_threshold,
         merge_overlap=args.merge_overlap_threshold,
-        host_resize=args.host_resize)
+        host_resize=args.host_resize, transfer=args.transfer)
 
     staining_dir = GlomusHandler.get_staining_type(args.data_category)
     json_dir = (None if args.no_json

@@ -126,18 +126,26 @@ def unflatten_crops(flat: jax.Array, offsets: jax.Array, heights: jax.Array,
     return jax.vmap(one)(offsets, heights, widths)
 
 
-def pack_crops_flat(crops, batch_size: int, max_w: int = 0,
+def pack_crops_flat(crops, batch_size: int, max_w: int = 0, max_h: int = 0,
                     bucket_bytes: int = 1 << 21):
     """Pack ragged HWC uint8 crops into one flat transfer buffer.
 
     Returns ``(flat, offsets, heights, widths)`` where ``flat`` is a 1-D
     uint8 array holding each crop's bytes back to back, length rounded up
-    to ``bucket_bytes`` (bounds the number of distinct compiled programs
-    across a slide's ragged batches).  ``max_w`` must be at least the
-    padded width :func:`unflatten_crops` will be called with (its
-    ``max_w * 3``-byte row slices must never reach past the buffer end, or
-    XLA's dynamic-slice clamping would shift — and corrupt — the last
-    crop's tail rows).  Empty batch slots get offset 0 and size 1x1.
+    to a shape bucket: every distinct buffer length is a distinct compiled
+    program (minutes each through this host's remote-AOT service), so the
+    bucket ties the program count to the padded layout's already-quantized
+    shape axes.  When ``max_h`` is given, the quantum is one eighth of the
+    padded batch's byte size (``batch_size * max_h * max_w * 3 / 8``) — at
+    most ~9 flat programs per padded shape, average over-transfer ~6% of
+    the padded bytes.  Without ``max_h`` the quantum is ``bucket_bytes``
+    (tight buffers for direct/test callers).
+
+    ``max_w`` must be at least the padded width :func:`unflatten_crops`
+    will be called with (its ``max_w * 3``-byte row slices must never
+    reach past the buffer end, or XLA's dynamic-slice clamping would
+    shift — and corrupt — the last crop's tail rows).  Empty batch slots
+    get offset 0 and size 1x1.
     """
     n = len(crops)
     offsets = np.zeros(batch_size, np.int64)
@@ -149,7 +157,10 @@ def pack_crops_flat(crops, batch_size: int, max_w: int = 0,
         heights[i], widths[i] = c.shape[:2]
         pos += c.shape[0] * c.shape[1] * 3
     slack = max(int(widths.max()), max_w) * 3
-    total = -(-(pos + slack) // bucket_bytes) * bucket_bytes
+    quantum = bucket_bytes
+    if max_h and max_w:
+        quantum = max(1, batch_size * max_h * max_w * 3 // 8)
+    total = -(-(pos + slack) // quantum) * quantum
     flat = np.zeros(total, np.uint8)
     for i, c in enumerate(crops[:n]):
         flat[offsets[i]: offsets[i] + c.size] = c.reshape(-1)

@@ -60,11 +60,13 @@ class FusedEndToEnd:
                  data_category: str = "OPT_PAS",
                  window_size: int = 2000, overlap_ratio: float = 0.1,
                  detect_conf: float = 0.2, merge_conf: float = 0.9,
-                 merge_overlap: float = 0.35, host_resize: bool = False):
+                 merge_overlap: float = 0.35, host_resize: bool = False,
+                 transfer: str = "auto"):
         # reference operating points: example/README.md:34-37,48-49
         self.backend = backend
         self.segmenter = FusedSlideSegmenter(ensemble,
-                                             host_resize=host_resize)
+                                             host_resize=host_resize,
+                                             transfer=transfer)
         self.data_category = data_category
         self.window_size = window_size
         self.overlap_ratio = overlap_ratio

@@ -503,7 +503,8 @@ class FusedSlideSegmenter:
                 from ..ops.preprocess import pack_crops_flat
 
                 flat, offs, hs, ws = pack_crops_flat(crops, bs,
-                                                     max_w=max_w)
+                                                     max_w=max_w,
+                                                     max_h=max_h)
                 padded = (flat, offs, max_h, max_w)
             else:
                 padded = np.zeros((bs, max_h, max_w, 3), np.uint8)

@@ -149,6 +149,14 @@ def test_pack_unflatten_roundtrip():
     bs = 4  # one empty slot
     flat, offs, hs, ws = pack_crops_flat(crops, bs, max_w=512)
     assert flat.size % (1 << 21) == 0
+    # padded-shape quantization (the production path): buffer lengths are
+    # multiples of 1/8 of the padded batch bytes, so at most ~9 distinct
+    # compiled programs exist per padded shape
+    quantum = bs * 512 * 512 * 3 // 8
+    flat_q, _, _, _ = pack_crops_flat(crops, bs, max_w=512, max_h=512)
+    assert flat_q.size % quantum == 0
+    content = sum(c.size for c in crops)
+    assert content <= flat_q.size < content + 2 * quantum
     np.testing.assert_array_equal(hs[:3], [300, 512, 123])
     np.testing.assert_array_equal(ws[:3], [400, 256, 457])
     assert hs[3] == ws[3] == 1
