@@ -167,6 +167,52 @@ def pack_crops_flat(crops, batch_size: int, max_w: int = 0, max_h: int = 0,
     return flat, offsets.astype(np.int32), heights, widths
 
 
+def classmap_pack_width(classes: int) -> int:
+    """Pixels per byte for base-``classes`` class-map packing.
+
+    The fused pipeline's full-resolution readback is (B, 512, 1024) uint8
+    argmax maps whose values are < ``classes`` — at 5 classes each byte
+    carries 2.3 bits of information across a d2h link that is the
+    measured pipeline bottleneck (~36 MB/s post-exec on this tunnel,
+    BASELINE.md).  Packing ``k`` pixels per byte in base ``classes``
+    (k=3 for 5 classes: 5^3=125 <= 256) is exact and cuts the readback
+    3x.  Returns 1 (no packing) for classes > 16.
+    """
+    k = 1
+    while classes ** (k + 1) <= 256:
+        k += 1
+    return k
+
+
+def pack_classmap(maps: jax.Array, classes: int) -> jax.Array:
+    """(B, H, W) uint8 class map -> (B, H, ceil(W/k)) base-``classes``
+    packed bytes (device side; exact inverse :func:`unpack_classmap`)."""
+    k = classmap_pack_width(classes)
+    if k == 1:
+        return maps
+    b, h, w = maps.shape
+    wp = -(-w // k) * k
+    m = jnp.pad(maps, ((0, 0), (0, 0), (0, wp - w))).astype(jnp.uint32)
+    m = m.reshape(b, h, wp // k, k)
+    powers = jnp.asarray([classes ** i for i in range(k)], jnp.uint32)
+    return (m * powers).sum(axis=-1).astype(jnp.uint8)
+
+
+def unpack_classmap(packed: np.ndarray, classes: int, w: int) -> np.ndarray:
+    """Host inverse of :func:`pack_classmap` via a 256-entry lookup table
+    (one numpy gather — ~an order of magnitude cheaper than per-digit
+    divmods on this one-core host)."""
+    k = classmap_pack_width(classes)
+    if k == 1:
+        return packed[..., :w]
+    lut = np.empty((256, k), np.uint8)
+    vals = np.arange(256)
+    for i in range(k):
+        lut[:, i] = vals // classes ** i % classes
+    out = lut[packed]  # (..., ceil(w/k), k)
+    return out.reshape(packed.shape[:-1] + (-1,))[..., :w]
+
+
 def postprocess_nearest_host(class_map: np.ndarray, out_h: int,
                              out_w: int) -> np.ndarray:
     """cv2 INTER_NEAREST resize of the argmax map back to crop size (host)."""

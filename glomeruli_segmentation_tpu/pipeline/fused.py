@@ -54,6 +54,12 @@ class EnsembleConfig:
     # a bf16 accumulator can flip the argmax at near-ties, so the HBM
     # saving (~250 MB/fold at B=48) is an explicit opt-in ("bfloat16").
     accum_dtype: str = "float32"
+    # pack k class-map pixels per byte (base-`classes`; k=3 at 5 classes)
+    # before the full-resolution readback: exact, cuts the (B, 512, 1024)
+    # d2h 3x.  Wins whenever d2h bandwidth is the bottleneck (always on
+    # this tunnel, ~36 MB/s post-exec); on a healthy host the ~30 ms LUT
+    # unpack can exceed the transfer saved — set False there.
+    pack_output: bool = True
 
 
 class EnsembleSegmenter:
@@ -203,16 +209,39 @@ class EnsembleSegmenter:
 
         return jax.vmap(resize_one)(padded, heights, widths)
 
+    def _maybe_pack(self, maps: jax.Array) -> jax.Array:
+        """Base-``classes`` pack the full-res readback (3 px/byte at 5
+        classes) when ``config.pack_output`` — the (B, 512, 1024) maps
+        cross the measured-bottleneck d2h link; exact inverse applied in
+        :meth:`read_maps`."""
+        if not self.config.pack_output:
+            return maps
+        from ..ops.preprocess import pack_classmap
+
+        return pack_classmap(maps, self.config.classes)
+
+    def read_maps(self, out) -> np.ndarray:
+        """Materialize a ``submit_batch*`` handle as (B, in_h, in_w) uint8
+        class maps (host LUT unpack of the packed readback)."""
+        maps = np.asarray(out)
+        if not self.config.pack_output:
+            return maps
+        from ..ops.preprocess import unpack_classmap
+
+        return unpack_classmap(maps, self.config.classes,
+                               self.config.in_width)
+
     def _forward_impl(self, padded: jax.Array, heights: jax.Array,
                       widths: jax.Array) -> jax.Array:
-        """(B, maxH, maxW, 3) uint8 BGR + valid sizes -> (B, H, W) uint8."""
-        return self._fold_argmax(self._resize_batch(padded, heights,
-                                                    widths))
+        """(B, maxH, maxW, 3) uint8 BGR + valid sizes -> (B, H, W/k)
+        packed uint8 (see :meth:`_maybe_pack`)."""
+        return self._maybe_pack(
+            self._fold_argmax(self._resize_batch(padded, heights, widths)))
 
     def _forward_resized_impl(self, resized: jax.Array) -> jax.Array:
         """(B, in_h, in_w, 3) float crops already at network resolution
-        (host cv2 pre-resize) -> (B, in_h, in_w) uint8 argmax."""
-        return self._fold_argmax(resized)
+        (host cv2 pre-resize) -> (B, in_h, in_w/k) packed uint8 argmax."""
+        return self._maybe_pack(self._fold_argmax(resized))
 
     def _fold_argmax(self, resized: jax.Array) -> jax.Array:
         cfg = self.config
@@ -267,9 +296,9 @@ class EnsembleSegmenter:
         # jnp.asarray) can ride a ~40 MB/s slow channel on the axon
         # tunnel vs ~1.4 GB/s for device_put (profiled round 2)
         s = self._data_sharding
-        return np.asarray(self._forward(jax.device_put(padded, s),
-                                        jax.device_put(heights, s),
-                                        jax.device_put(widths, s)))
+        return self.read_maps(self._forward(jax.device_put(padded, s),
+                                            jax.device_put(heights, s),
+                                            jax.device_put(widths, s)))
 
     def _forward_gather_impl(self, padded: jax.Array, heights: jax.Array,
                              widths: jax.Array, ys: jax.Array,
@@ -292,7 +321,7 @@ class EnsembleSegmenter:
         if self.engine == "packed":
             resized = self._resize_batch(padded, heights, widths)
             return self._packed.gathered_argmax(resized, ys, xs)
-        maps = self._forward_impl(padded, heights, widths)
+        maps = self._fold_argmax(self._resize_batch(padded, heights, widths))
 
         def one(m, y_idx, x_idx):
             return m[y_idx][:, x_idx]
@@ -304,7 +333,7 @@ class EnsembleSegmenter:
         """Pre-resized forward + the same on-device /8 stitch gather."""
         if self.engine == "packed":
             return self._packed.gathered_argmax(resized, ys, xs)
-        maps = self._forward_resized_impl(resized)
+        maps = self._fold_argmax(resized)
 
         def one(m, y_idx, x_idx):
             return m[y_idx][:, x_idx]
@@ -314,7 +343,7 @@ class EnsembleSegmenter:
     def _forward_flat_impl(self, flat: jax.Array, offsets: jax.Array,
                            heights: jax.Array, widths: jax.Array,
                            max_h: int, max_w: int) -> jax.Array:
-        """Ragged flat crop buffer -> (B, in_h, in_w) uint8 argmax.
+        """Ragged flat crop buffer -> (B, in_h, in_w/k) packed argmax.
 
         ``flat`` holds each crop's raw bytes back to back
         (:func:`..ops.preprocess.pack_crops_flat`); the padded batch view
@@ -568,7 +597,11 @@ class FusedSlideSegmenter:
         def drain(pending):
             nonlocal start
             chunk, n, out = pending
-            maps = np.asarray(out)
+            # the full-res (non-ds8) readback arrives base-`classes`
+            # packed (3 px/byte at 5 classes); the gather path's small
+            # (B, oh, ow) maps are unpacked on device
+            maps = (np.asarray(out) if ds8
+                    else self.ensemble.read_maps(out))
             for (x1, y1, x2, y2), net_map in zip(chunk, maps[:n]):
                 from ..ops.preprocess import postprocess_nearest_host
 

@@ -62,6 +62,11 @@ class SegmenterConfig:
     # shard crop batches over an N-device mesh (0 = single device,
     # -1 = all devices); params replicated, batch split over 'data'
     data_parallel: int = 0
+    # pack k class-map pixels per byte (base-`classes`) before the
+    # full-resolution readback — exact; cuts the (B, 512, 1024) d2h 3x
+    # on the measured-bottleneck link (BASELINE.md).  Set False on hosts
+    # where d2h outruns the ~30 ms LUT unpack.
+    pack_output: bool = True
 
 
 class EspnetSegmenter:
@@ -150,7 +155,22 @@ class EspnetSegmenter:
                     return resize_bilinear(img, img.shape[0] * 8,
                                            img.shape[1] * 8)
                 logits = jax.vmap(up)(logits)
-            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            maps = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            if cfg.pack_output:
+                from ..ops.preprocess import pack_classmap
+
+                maps = pack_classmap(maps, cfg.classes)
+            return maps
+
+    def _read_maps(self, out) -> np.ndarray:
+        """Materialize a forward handle as (B, in_h, in_w) uint8 maps
+        (LUT unpack of the base-`classes` packed readback)."""
+        maps = np.asarray(out)
+        if not self.config.pack_output:
+            return maps
+        from ..ops.preprocess import unpack_classmap
+
+        return unpack_classmap(maps, self.config.classes, self.config.in_width)
 
     def preprocess(self, images_bgr: List[np.ndarray]) -> jax.Array:
         cfg = self.config
@@ -182,7 +202,7 @@ class EspnetSegmenter:
             if n < cfg.batch_size:  # pad batch to the compiled size
                 chunk = chunk + [chunk[-1]] * (cfg.batch_size - n)
             batch = self.preprocess(chunk)
-            maps = np.asarray(self._forward(batch))[:n]
+            maps = self._read_maps(self._forward(batch))[:n]
             for im, cmap in zip(images_bgr[start: start + cfg.batch_size], maps):
                 results.append(
                     postprocess_nearest_host(cmap, im.shape[0], im.shape[1]))
@@ -200,7 +220,7 @@ class EspnetSegmenter:
             if n < cfg.batch_size:
                 chunk = chunk + [chunk[-1]] * (cfg.batch_size - n)
             batch = self.preprocess(chunk)
-            out.append(np.asarray(self._forward(batch))[:n])
+            out.append(self._read_maps(self._forward(batch))[:n])
         return np.concatenate(out, axis=0)
 
 

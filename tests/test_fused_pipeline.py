@@ -169,6 +169,49 @@ def test_pack_unflatten_roundtrip():
             padded[i, : c.shape[0], : c.shape[1]], c)
 
 
+def test_classmap_pack_roundtrip():
+    """Base-`classes` class-map packing must be exact for every class
+    count (k=3 at 5 classes, k=8 at 2, k=1 passthrough above 16) and for
+    widths not divisible by the pack factor."""
+    import jax
+
+    from glomeruli_segmentation_tpu.ops.preprocess import (
+        classmap_pack_width,
+        pack_classmap,
+        unpack_classmap,
+    )
+
+    assert classmap_pack_width(5) == 3
+    assert classmap_pack_width(2) == 8
+    assert classmap_pack_width(16) == 2
+    assert classmap_pack_width(17) == 1
+    rng = np.random.RandomState(3)
+    for classes, w in ((5, 1024), (5, 1021), (2, 37), (16, 33), (17, 8)):
+        maps = rng.randint(0, classes, (2, 7, w)).astype(np.uint8)
+        packed = np.asarray(jax.jit(
+            pack_classmap, static_argnums=1)(maps, classes))
+        k = classmap_pack_width(classes)
+        assert packed.shape == (2, 7, -(-w // k))
+        np.testing.assert_array_equal(
+            unpack_classmap(packed, classes, w), maps)
+
+
+def test_pack_output_off_matches_on(ensemble, reference_models_dir):
+    """pack_output=False (healthy-host mode) and the packed default must
+    produce identical class maps through the real device path."""
+    import dataclasses
+
+    plain = EnsembleSegmenter(
+        dataclasses.replace(ensemble.config, pack_output=False))
+    rng = np.random.RandomState(11)
+    padded = rng.randint(0, 255, (2, 320, 448, 3)).astype(np.uint8)
+    hs = np.asarray([300, 320], np.int32)
+    ws = np.asarray([448, 400], np.int32)
+    np.testing.assert_array_equal(
+        ensemble.segment_batch_padded(padded, hs, ws),
+        plain.segment_batch_padded(padded, hs, ws))
+
+
 def test_flat_transfer_matches_padded(ensemble, tmp_path):
     """transfer='flat' (the single-device default) must be byte-identical
     to the padded layout on both the /8-gather and full-res paths."""
