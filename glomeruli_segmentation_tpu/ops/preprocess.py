@@ -186,31 +186,44 @@ def classmap_pack_width(classes: int) -> int:
 
 def pack_classmap(maps: jax.Array, classes: int) -> jax.Array:
     """(B, H, W) uint8 class map -> (B, H, ceil(W/k)) base-``classes``
-    packed bytes (device side; exact inverse :func:`unpack_classmap`)."""
+    packed bytes (device side; exact inverse :func:`unpack_classmap`).
+
+    Digit layout is CHUNKED, not interleaved: with chunk = ceil(W/k),
+    output byte ``j`` holds pixels ``(j, j+chunk, j+2*chunk, ...)`` as
+    base-``classes`` digits 0..k-1.  Adjacent-pixel packing would need a
+    (..., chunk, k) view whose minor dimension is k — a catastrophic TPU
+    layout (k of 128 lanes used; measured +0.39 s of pure relayout on a
+    (48, 512, 1024) map).  The chunked form is k contiguous lane-aligned
+    slices, a multiply and adds; padding pixels land in the tail of the
+    last digit, so the unpacked tail slice drops them.
+    """
     k = classmap_pack_width(classes)
     if k == 1:
         return maps
-    b, h, w = maps.shape
-    wp = -(-w // k) * k
-    m = jnp.pad(maps, ((0, 0), (0, 0), (0, wp - w))).astype(jnp.uint32)
-    m = m.reshape(b, h, wp // k, k)
-    powers = jnp.asarray([classes ** i for i in range(k)], jnp.uint32)
-    return (m * powers).sum(axis=-1).astype(jnp.uint8)
+    w = maps.shape[-1]
+    chunk = -(-w // k)
+    m = jnp.pad(maps, ((0, 0),) * (maps.ndim - 1)
+                + ((0, chunk * k - w),)).astype(jnp.uint8)
+    packed = m[..., :chunk]
+    for i in range(1, k):
+        packed = packed + m[..., i * chunk: (i + 1) * chunk] * (classes ** i)
+    return packed
 
 
 def unpack_classmap(packed: np.ndarray, classes: int, w: int) -> np.ndarray:
-    """Host inverse of :func:`pack_classmap` via a 256-entry lookup table
-    (one numpy gather — ~an order of magnitude cheaper than per-digit
-    divmods on this one-core host)."""
+    """Host inverse of :func:`pack_classmap`: digit ``i`` of each byte is
+    pixels ``[i*chunk, (i+1)*chunk)``, recovered with one 256-entry LUT
+    gather per digit into a contiguous slab (no per-pixel transpose)."""
     k = classmap_pack_width(classes)
     if k == 1:
         return packed[..., :w]
-    lut = np.empty((256, k), np.uint8)
+    chunk = packed.shape[-1]
     vals = np.arange(256)
+    out = np.empty(packed.shape[:-1] + (chunk * k,), np.uint8)
     for i in range(k):
-        lut[:, i] = vals // classes ** i % classes
-    out = lut[packed]  # (..., ceil(w/k), k)
-    return out.reshape(packed.shape[:-1] + (-1,))[..., :w]
+        lut = (vals // classes ** i % classes).astype(np.uint8)
+        out[..., i * chunk: (i + 1) * chunk] = lut[packed]
+    return out[..., :w]
 
 
 def postprocess_nearest_host(class_map: np.ndarray, out_h: int,

@@ -56,10 +56,13 @@ class EnsembleConfig:
     accum_dtype: str = "float32"
     # pack k class-map pixels per byte (base-`classes`; k=3 at 5 classes)
     # before the full-resolution readback: exact, cuts the (B, 512, 1024)
-    # d2h 3x.  Wins whenever d2h bandwidth is the bottleneck (always on
-    # this tunnel, ~36 MB/s post-exec); on a healthy host the ~30 ms LUT
-    # unpack can exceed the transfer saved — set False there.
-    pack_output: bool = True
+    # d2h bytes 3x.  Measured OFF by default: this tunnel moves the
+    # 8.4 MB packed array at only 17-39 MB/s vs ~37 MB/s for the 25 MB
+    # contiguous map (small transfers pay disproportionate fixed cost),
+    # so interleaved A/B on both the raw batch and the fused labelme
+    # slide path reads a statistical tie (BASELINE.md round-3 probe).
+    # Opt in on links that are genuinely byte-limited.
+    pack_output: bool = False
 
 
 class EnsembleSegmenter:
@@ -597,9 +600,9 @@ class FusedSlideSegmenter:
         def drain(pending):
             nonlocal start
             chunk, n, out = pending
-            # the full-res (non-ds8) readback arrives base-`classes`
-            # packed (3 px/byte at 5 classes); the gather path's small
-            # (B, oh, ow) maps are unpacked on device
+            # the full-res (non-ds8) readback may arrive base-`classes`
+            # packed (pack_output opt-in); the gather path's small
+            # (B, oh, ow) maps never pack
             maps = (np.asarray(out) if ds8
                     else self.ensemble.read_maps(out))
             for (x1, y1, x2, y2), net_map in zip(chunk, maps[:n]):

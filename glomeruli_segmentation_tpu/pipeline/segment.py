@@ -63,10 +63,11 @@ class SegmenterConfig:
     # -1 = all devices); params replicated, batch split over 'data'
     data_parallel: int = 0
     # pack k class-map pixels per byte (base-`classes`) before the
-    # full-resolution readback — exact; cuts the (B, 512, 1024) d2h 3x
-    # on the measured-bottleneck link (BASELINE.md).  Set False on hosts
-    # where d2h outruns the ~30 ms LUT unpack.
-    pack_output: bool = True
+    # full-resolution readback — exact, 3x fewer d2h bytes, but measured
+    # a tie on this tunnel (small transfers run at ~half the MB/s of the
+    # big contiguous map; BASELINE.md round-3 probe) — opt-in for
+    # genuinely byte-limited links.
+    pack_output: bool = False
 
 
 class EspnetSegmenter:

@@ -197,12 +197,13 @@ def test_classmap_pack_roundtrip():
 
 
 def test_pack_output_off_matches_on(ensemble, reference_models_dir):
-    """pack_output=False (healthy-host mode) and the packed default must
-    produce identical class maps through the real device path."""
+    """pack_output=True (byte-limited-link opt-in) and the unpacked
+    default must produce identical class maps through the real device
+    path."""
     import dataclasses
 
     plain = EnsembleSegmenter(
-        dataclasses.replace(ensemble.config, pack_output=False))
+        dataclasses.replace(ensemble.config, pack_output=True))
     rng = np.random.RandomState(11)
     padded = rng.randint(0, 255, (2, 320, 448, 3)).astype(np.uint8)
     hs = np.asarray([300, 320], np.int32)
