@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "before transfer (O(net input) bytes per crop "
                              "instead of O(crop); wins when the "
                              "host->device link is the bottleneck)")
+    parser.add_argument("--pack_output", action="store_true",
+                        help="pack the full-resolution class-map "
+                             "readbacks (labelme-JSON path) 3 px/byte "
+                             "before d2h — exact; opt in when the "
+                             "device->host link is byte-limited")
     parser.add_argument("--no_overlay", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already in the timing log and "
@@ -116,7 +121,8 @@ def main(argv=None):
     ensemble = EnsembleSegmenter(
         EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
                        batch_size=args.seg_batch_size,
-                       precision=args.precision),
+                       precision=args.precision,
+                       pack_output=args.pack_output),
         mesh=mesh, engine=args.engine)
 
     pipe = FusedEndToEnd(

@@ -65,6 +65,11 @@ def build_parser() -> ArgumentParser:
                         help="shard crop batches over an N-device mesh "
                              "(0 = single device, -1 = all devices); "
                              "batch_size must be a multiple of N")
+    parser.add_argument("--pack_output", action="store_true",
+                        help="pack class-map readbacks 3 px/byte (base-"
+                             "classes) before d2h — exact; opt in when "
+                             "the device->host link is byte-limited "
+                             "(BASELINE.md round-3 probe)")
     return parser
 
 

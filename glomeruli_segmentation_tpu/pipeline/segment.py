@@ -295,6 +295,7 @@ def run_segment(args) -> None:
         precision=getattr(args, "precision", "highest"),
         engine=getattr(args, "engine", "xla"),
         data_parallel=getattr(args, "data_parallel", 0),
+        pack_output=getattr(args, "pack_output", False),
     )
     segmenter = EspnetSegmenter(cfg)
 
