@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "xla", "fused", "packed"])
     parser.add_argument("--buckets", type=int, nargs="*", default=[512],
                         help="crop bucket sizes (multiples of 256) to warm")
+    parser.add_argument("--pack_output", action="store_true",
+                        help="warm the packed-readback variant of the "
+                             "full-res program (matches gseg-e2e/"
+                             "gseg-segment --pack_output)")
     parser.add_argument("--model", type=str, default=None,
                         help="detector model dir (optional)")
     parser.add_argument("--model_name", default=None,
@@ -56,7 +60,8 @@ def main(argv=None):
                               f"espnet_fold{k}.pth") for k in args.folds]
         ens = EnsembleSegmenter(
             EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
-                           batch_size=args.seg_batch_size),
+                           batch_size=args.seg_batch_size,
+                           pack_output=args.pack_output),
             engine=args.engine)
         bs = args.seg_batch_size
         for bucket in args.buckets:

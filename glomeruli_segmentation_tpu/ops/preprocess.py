@@ -178,6 +178,8 @@ def classmap_pack_width(classes: int) -> int:
     (k=3 for 5 classes: 5^3=125 <= 256) is exact and cuts the readback
     3x.  Returns 1 (no packing) for classes > 16.
     """
+    if classes < 2:  # degenerate map; 1**k/0**k never exceed 256
+        return 1
     k = 1
     while classes ** (k + 1) <= 256:
         k += 1
@@ -224,6 +226,21 @@ def unpack_classmap(packed: np.ndarray, classes: int, w: int) -> np.ndarray:
         lut = (vals // classes ** i % classes).astype(np.uint8)
         out[..., i * chunk: (i + 1) * chunk] = lut[packed]
     return out[..., :w]
+
+
+def maybe_pack(maps: jax.Array, classes: int, enabled: bool) -> jax.Array:
+    """:func:`pack_classmap` gated on a config flag (device side) — the
+    single enable/classes contract shared by ``EnsembleSegmenter`` and
+    ``EspnetSegmenter``."""
+    return pack_classmap(maps, classes) if enabled else maps
+
+
+def read_packed(out, classes: int, w: int, enabled: bool) -> np.ndarray:
+    """Materialize a (possibly packed) device class-map handle as
+    (..., H, ``w``) uint8 on host — the inverse of :func:`maybe_pack`
+    under the same flag."""
+    maps = np.asarray(out)
+    return unpack_classmap(maps, classes, w) if enabled else maps
 
 
 def postprocess_nearest_host(class_map: np.ndarray, out_h: int,

@@ -214,25 +214,20 @@ class EnsembleSegmenter:
 
     def _maybe_pack(self, maps: jax.Array) -> jax.Array:
         """Base-``classes`` pack the full-res readback (3 px/byte at 5
-        classes) when ``config.pack_output`` — the (B, 512, 1024) maps
-        cross the measured-bottleneck d2h link; exact inverse applied in
-        :meth:`read_maps`."""
-        if not self.config.pack_output:
-            return maps
-        from ..ops.preprocess import pack_classmap
+        classes) when ``config.pack_output`` (byte-limited-link opt-in);
+        exact inverse applied in :meth:`read_maps`."""
+        from ..ops.preprocess import maybe_pack
 
-        return pack_classmap(maps, self.config.classes)
+        return maybe_pack(maps, self.config.classes,
+                          self.config.pack_output)
 
     def read_maps(self, out) -> np.ndarray:
         """Materialize a ``submit_batch*`` handle as (B, in_h, in_w) uint8
-        class maps (host LUT unpack of the packed readback)."""
-        maps = np.asarray(out)
-        if not self.config.pack_output:
-            return maps
-        from ..ops.preprocess import unpack_classmap
+        class maps (host LUT unpack when the readback is packed)."""
+        from ..ops.preprocess import read_packed
 
-        return unpack_classmap(maps, self.config.classes,
-                               self.config.in_width)
+        return read_packed(out, self.config.classes, self.config.in_width,
+                           self.config.pack_output)
 
     def _forward_impl(self, padded: jax.Array, heights: jax.Array,
                       widths: jax.Array) -> jax.Array:

@@ -156,22 +156,18 @@ class EspnetSegmenter:
                     return resize_bilinear(img, img.shape[0] * 8,
                                            img.shape[1] * 8)
                 logits = jax.vmap(up)(logits)
-            maps = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-            if cfg.pack_output:
-                from ..ops.preprocess import pack_classmap
+            from ..ops.preprocess import maybe_pack
 
-                maps = pack_classmap(maps, cfg.classes)
-            return maps
+            maps = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            return maybe_pack(maps, cfg.classes, cfg.pack_output)
 
     def _read_maps(self, out) -> np.ndarray:
         """Materialize a forward handle as (B, in_h, in_w) uint8 maps
-        (LUT unpack of the base-`classes` packed readback)."""
-        maps = np.asarray(out)
-        if not self.config.pack_output:
-            return maps
-        from ..ops.preprocess import unpack_classmap
+        (LUT unpack when the readback is packed)."""
+        from ..ops.preprocess import read_packed
 
-        return unpack_classmap(maps, self.config.classes, self.config.in_width)
+        return read_packed(out, self.config.classes, self.config.in_width,
+                           self.config.pack_output)
 
     def preprocess(self, images_bgr: List[np.ndarray]) -> jax.Array:
         cfg = self.config

@@ -185,6 +185,9 @@ def test_classmap_pack_roundtrip():
     assert classmap_pack_width(2) == 8
     assert classmap_pack_width(16) == 2
     assert classmap_pack_width(17) == 1
+    # degenerate class counts must terminate (1**k/0**k never exceed 256)
+    assert classmap_pack_width(1) == 1
+    assert classmap_pack_width(0) == 1
     rng = np.random.RandomState(3)
     for classes, w in ((5, 1024), (5, 1021), (2, 37), (16, 33), (17, 8)):
         maps = rng.randint(0, classes, (2, 7, w)).astype(np.uint8)

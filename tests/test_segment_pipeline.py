@@ -152,3 +152,30 @@ def test_run_segment_artifacts(tmp_path, reference_models_dir):
     assert set(doc) == {"shapes", "lineColor", "imagePath", "flags",
                         "fillColor", "imageData"}
     assert (savedir / "PAS-001").glob("*_overlay.jpg")
+
+
+def test_segmenter_pack_output_matches_unpacked(segmenter,
+                                                reference_models_dir):
+    """EspnetSegmenter pack_output=True (byte-limited-link opt-in) must
+    be byte-identical to the unpacked default on both public APIs, for
+    the decoder net and the encoder-only (x8-upsample) variant."""
+    import dataclasses
+
+    rng = np.random.RandomState(7)
+    imgs = [_synthetic_crop(rng, 260, 340), _synthetic_crop(rng, 512, 417)]
+
+    packed = EspnetSegmenter(
+        dataclasses.replace(segmenter.config, pack_output=True))
+    for a, b in zip(segmenter.segment_images(imgs),
+                    packed.segment_images(imgs)):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(segmenter.class_maps_net_res(imgs),
+                                  packed.class_maps_net_res(imgs))
+
+    enc_kw = dict(weights=str(reference_models_dir / "espnet_fold1.pth"),
+                  mean=FOLD1_MEAN, std=FOLD1_STD, batch_size=2,
+                  decoder=False)
+    enc = EspnetSegmenter(SegmenterConfig(**enc_kw))
+    enc_packed = EspnetSegmenter(SegmenterConfig(pack_output=True, **enc_kw))
+    np.testing.assert_array_equal(enc.class_maps_net_res(imgs),
+                                  enc_packed.class_maps_net_res(imgs))
