@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_root", type=str, required=True)
     parser.add_argument("--detected_mode", type=int, default=0)
     parser.add_argument("--input_size", type=int, default=512)
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard crop batches over an N-device mesh "
+                             "(0 = single device, -1 = all devices); "
+                             "batch_size must be a multiple of N")
     return parser
 
 

@@ -129,16 +129,26 @@ def run_segformer_test(args) -> None:
                                args.pretrained_model, f"fold{args.fold}")
     os.makedirs(report_root, exist_ok=True)
 
-    @jax.jit
-    def forward(x):
-        return model.apply(variables, x)
-
     # crops arrive uniformly resized (ResizedGlomerularDataset), so the
     # forward batches ``--batch_size`` crops per dispatch (the reference
     # feeds its session one crop at a time, test.py:60-74; per-image
     # metrics/CSV rows below are unchanged).  The tail pads by repeating
     # the last crop so one compiled geometry serves the whole sweep.
     bs = max(1, int(getattr(args, "batch_size", 1) or 1))
+    # --data_parallel: shard crop batches over an N-device mesh with
+    # replicated parameters (the same CLI policy as gseg-segment /
+    # gseg-detect / gseg-e2e, parallel/mesh.py::make_data_mesh)
+    from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
+
+    mesh = make_data_mesh(getattr(args, "data_parallel", 0), bs)
+    data_sharding = None
+    if mesh is not None:
+        variables = jax.device_put(variables, replicated(mesh))
+        data_sharding = batch_sharding(mesh)
+        forward = jax.jit(lambda x: model.apply(variables, x),
+                          in_shardings=data_sharding)
+    else:
+        forward = jax.jit(lambda x: model.apply(variables, x))
     metrics_sum: Dict[str, np.ndarray] = {}
     data_len = len(test_ds)
     with open(os.path.join(report_root, "pred_summary_pixel.csv"),
@@ -154,7 +164,9 @@ def run_segformer_test(args) -> None:
             if len(idxs) < bs:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], bs - len(idxs), axis=0)])
-            batch_logits = forward(jax.device_put(batch))
+            batch_logits = forward(jax.device_put(batch, data_sharding)
+                                   if data_sharding is not None
+                                   else jax.device_put(batch))
             for pos, (idx, item) in enumerate(zip(idxs, items)):
                 image_file = test_ds.images[idx]
                 specimen_id = image_file.split("/")[-2]

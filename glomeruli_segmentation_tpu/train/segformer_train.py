@@ -201,6 +201,13 @@ def train_segformer(args) -> str:
         input_size=input_size)
     print(f"Number of training examples: {len(train_ds)}")
     print(f"Number of validation examples: {len(val_ds)}")
+    if len(train_ds) == 0:
+        raise ValueError(
+            f"fold {args.fold} train split is empty: no paired crops "
+            f"under {data_source}/rgb/*/[name].PNG with labels in "
+            f"label/gtcs (the dataset matches uppercase .PNG, the "
+            f"reference extension) — was previously a late "
+            f"UnboundLocalError in the epoch log")
 
     config = SegformerConfig(num_labels=args.num_labels)
     # --bf16: encoder/head matmuls in bfloat16 on the MXU; params,

@@ -375,3 +375,51 @@ def test_segformer_gradient_accumulation():
     base = ["--data_root", "/tmp", "--data_date", "d",
             "--model_root", "/tmp", "--site", "01_Todai"]
     assert build_parser().parse_args(base).accumulation_steps == 1
+
+
+def test_segformer_test_data_parallel_matches_single_device(tmp_path):
+    """gseg-segformer-test --data_parallel 8 must reproduce the
+    single-device report byte-for-byte (crop batches sharded over the
+    CPU mesh, params replicated — the same CLI policy as every other
+    forward-running stage)."""
+    from glomeruli_segmentation_tpu.cli.segformer_test import (
+        build_parser as test_parser,
+    )
+    from glomeruli_segmentation_tpu.cli.segformer_train import (
+        build_parser as train_parser,
+    )
+    from glomeruli_segmentation_tpu.pipeline.segformer_test import (
+        run_segformer_test,
+    )
+    from glomeruli_segmentation_tpu.train.segformer_train import (
+        train_segformer,
+    )
+
+    _gtcs_tree(tmp_path, n_specimens=5, crops_per=1, size=96)
+    model_root = tmp_path / "models"
+    train_segformer(train_parser().parse_args([
+        "--site", "01_Todai", "--data_root", str(tmp_path),
+        "--data_date", "20260101", "--model_root", str(model_root),
+        "--output_dir", "exp", "--fold", "1", "--max_epoch", "1",
+        "--save_interval", "1", "--batch_size", "2", "--num_labels", "5",
+        "--input_size", "96",
+    ]))
+
+    reports = {}
+    for dp in (0, 8):
+        report_root = tmp_path / f"reports_dp{dp}"
+        run_segformer_test(test_parser().parse_args([
+            "--fold", "1", "--target_site", "01_Todai", "--model_site",
+            "01_Todai", "--data_date", "20260101",
+            "--model_base_path", str(model_root),
+            "--pretrained_model", "exp", "--checkpoint", "",
+            "--report_root_path", str(report_root),
+            "--data_root", str(tmp_path), "--num_labels", "5",
+            "--input_size", "96", "--batch_size", "8",
+            "--data_parallel", str(dp),
+        ]))
+        rep = (report_root / "01_Todai" / "01_Todai" / "20260101" / "exp"
+               / "fold1")
+        reports[dp] = ((rep / "pred_summary_pixel.csv").read_text(),
+                       (rep / "summary_report.csv").read_text())
+    assert reports[0] == reports[8]
