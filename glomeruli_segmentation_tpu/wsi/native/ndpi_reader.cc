@@ -46,6 +46,10 @@ constexpr uint16_t TAG_TILE_OFFSETS = 324;
 constexpr uint16_t TAG_TILE_BYTE_COUNTS = 325;
 constexpr uint16_t TAG_JPEG_TABLES = 347;
 constexpr uint16_t TAG_NDPI_SOURCELENS = 65421;
+// Precomputed restart-chunk entropy offsets (strip-relative), written by
+// Hamamatsu scanners so readers can index a level without scanning its
+// whole entropy stream.  Validated before use; see spans_from_mcu_starts.
+constexpr uint16_t TAG_NDPI_MCU_STARTS = 65426;
 
 struct Page {
   int64_t width = 0, height = 0;
@@ -59,6 +63,7 @@ struct Page {
   double x_resolution = 0, y_resolution = 0;
   int resolution_unit = 2;
   double source_lens = -1e9;  // unset marker
+  std::vector<uint64_t> mcu_starts;
   bool tiled() const { return tile_width > 0; }
 };
 
@@ -85,6 +90,7 @@ struct NdpiIndex {
   uint32_t restart_interval = 0;
   int64_t tile_w = 0, tile_h = 0, tiles_across = 0, tiles_down = 0;
   int64_t n_chunks = 0;
+  bool used_mcu_starts = false;
   // strip-relative (start, end) of each chunk's entropy bytes
   std::vector<std::pair<uint64_t, uint64_t>> spans;
 
@@ -413,6 +419,12 @@ class Reader {
     }
     idx->tiles_down = (p.height + idx->tile_h - 1) / idx->tile_h;
     idx->n_chunks = (mpr * mrows + r - 1) / r;
+    // -- precomputed McuStarts tag (validated; else fall back to scan) --
+    if (!p.mcu_starts.empty() && spans_from_mcu_starts(p, idx)) {
+      idx->used_mcu_starts = true;
+      idx->ok = (int64_t)idx->spans.size() == idx->n_chunks;
+      return;
+    }
     // -- entropy scan (one sequential pass) ---------------------------
     uint64_t entropy_start = idx->headers.size();
     uint64_t start = entropy_start, file_pos = entropy_start;
@@ -454,6 +466,45 @@ class Reader {
     }
     if (!done) idx->spans.emplace_back(start, size);
     idx->ok = (int64_t)idx->spans.size() == idx->n_chunks;
+  }
+
+  // Chunk spans from the NDPI McuStarts tag (65426): strip-relative offset
+  // of every restart chunk's first entropy byte, precomputed by the
+  // scanner — O(chunks) index construction instead of a sequential scan
+  // of the whole (multi-GB at level 0) entropy stream.  The convention is
+  // validated against the header-derived grid (count, monotonicity, first
+  // entry == entropy start, RST marker immediately before sampled
+  // entries); mismatch returns false and the caller falls back to the
+  // scan, so a deviating file stays correct.  Mirrors
+  // _NdpiStripIndex._spans_from_mcu_starts in ../tiff_reader.py.
+  bool spans_from_mcu_starts(const Page& p, NdpiIndex* idx) {
+    const std::vector<uint64_t>& starts = p.mcu_starts;
+    const uint64_t size = p.byte_counts[0];
+    const uint64_t entropy_start = idx->headers.size();
+    if ((int64_t)starts.size() != idx->n_chunks) return false;
+    if (starts[0] != entropy_start) return false;
+    for (size_t i = 1; i < starts.size(); i++)
+      if (starts[i] <= starts[i - 1]) return false;
+    if (starts.back() >= size) return false;
+    size_t probes[3] = {1, starts.size() / 2, starts.size() - 1};
+    for (size_t j : probes) {
+      if (j == 0 || j >= starts.size()) continue;
+      uint8_t mk[2];
+      if (!read_at(p.offsets[0] + starts[j] - 2, 2, mk)) return false;
+      if (mk[0] != 0xFF || mk[1] < 0xD0 || mk[1] > 0xD7) return false;
+    }
+    idx->spans.clear();
+    idx->spans.reserve(starts.size());
+    for (size_t i = 0; i + 1 < starts.size(); i++)
+      idx->spans.emplace_back(starts[i], starts[i + 1] - 2);
+    uint8_t tail[2] = {0, 0};
+    uint64_t last_end =
+        (size >= 2 && read_at(p.offsets[0] + size - 2, 2, tail) &&
+         tail[0] == 0xFF && tail[1] == 0xD9)
+            ? size - 2
+            : size;
+    idx->spans.emplace_back(starts.back(), last_end);
+    return true;
   }
 
   // Synthesize a standalone JPEG for one chunk (patched SOF dims, DRI=0,
@@ -630,6 +681,8 @@ class Reader {
           page.resolution_unit = (int)entry_ints(entry)[0]; break;
         case TAG_NDPI_SOURCELENS:
           page.source_lens = entry_float(entry); break;
+        case TAG_NDPI_MCU_STARTS:
+          page.mcu_starts = entry_ints(entry); break;
         default: break;
       }
     }
@@ -677,6 +730,19 @@ void gs_level_dimensions(void* handle, int level, int64_t* w, int64_t* h) {
 // reads on single-strip JPEG levels must decode O(window), not O(slide)).
 int64_t gs_chunk_decodes(void* handle) {
   return static_cast<Reader*>(handle)->chunk_decodes();
+}
+
+// How the level's restart-chunk index was (or would be) built:
+// 0 = no virtual-tile index (tiled / multi-strip / non-JPEG level),
+// 1 = entropy-stream marker scan, 2 = NDPI McuStarts tag (65426).
+// Builds the index as a side effect.
+int gs_ndpi_index_mode(void* handle, int level) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (level < 0 || level >= r->level_count()) return 0;
+  const NdpiIndex* nd =
+      r->page(level).tiled() ? nullptr : r->ndpi_index(level);
+  if (!nd) return 0;
+  return nd->used_mcu_starts ? 2 : 1;
 }
 
 double gs_mpp_x(void* handle) { return static_cast<Reader*>(handle)->mpp(true); }

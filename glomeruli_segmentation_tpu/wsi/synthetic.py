@@ -243,7 +243,8 @@ def _encode_chunk(img: np.ndarray, quality: int) -> bytes:
 
 def encode_ndpi_strip(img: np.ndarray, rows_per_chunk: int = 1,
                       chunk_mcus_w: int = 0, quality: int = 90,
-                      zero_sof_dims: bool = False) -> bytes:
+                      zero_sof_dims: bool = False,
+                      return_mcu_starts: bool = False):
     """Encode ``img`` as ONE JPEG stream in the Hamamatsu NDPI layout: a
     restart marker every ``R`` MCUs so readers can decode chunks randomly.
 
@@ -257,6 +258,11 @@ def encode_ndpi_strip(img: np.ndarray, rows_per_chunk: int = 1,
     Chunks are encoded independently with identical tables/sampling and
     their entropy segments joined with renumbered RST markers — valid
     because DC predictors reset at restart boundaries.
+
+    ``return_mcu_starts=True`` additionally returns each chunk's first
+    entropy byte offset (strip-relative) — the payload of the NDPI
+    McuStarts tag (65426) real scanners precompute so readers need not
+    scan the multi-gigabyte entropy stream.
     """
     h, w = img.shape[:2]
     mpr = -(-w // _MCU)
@@ -292,11 +298,15 @@ def encode_ndpi_strip(img: np.ndarray, rows_per_chunk: int = 1,
                      0 if zero_sof_dims else h, 0 if zero_sof_dims else w)
     dri = struct.pack(">HHH", 0xFFDD, 4, restart)
     out = bytearray(headers[:sos_off]) + dri + headers[sos_off:]
+    starts = []
     for i, (_, entropy) in enumerate(encoded):
         if i:
             out += struct.pack(">H", 0xFFD0 + ((i - 1) % 8))
+        starts.append(len(out))
         out += entropy
     out += b"\xff\xd9"
+    if return_mcu_starts:
+        return bytes(out), starts
     return bytes(out)
 
 
@@ -310,12 +320,18 @@ def write_ndpi_like_tiff(
     chunk_mcus_w: int = 0,
     jpeg_quality: int = 90,
     zero_sof_dims: bool = False,
+    mcu_starts: bool = False,
 ) -> None:
     """Write a classic TIFF in the real Hamamatsu NDPI layout: each level
     is ONE JPEG strip (RowsPerStrip = ImageLength) with restart markers
     (VERDICT/OpenSlide: the format ``openslide.read_region`` consumes at
     detect_glomus_test.py:274).  Options mirror the quirks the readers
     must handle; see :func:`encode_ndpi_strip`.
+
+    ``mcu_starts=True`` writes the NDPI McuStarts tag (65426): the
+    strip-relative entropy offset of every restart chunk, which real
+    Hamamatsu scanners precompute so readers can index a level without
+    scanning its whole entropy stream.
     """
     h, w = base_image.shape[:2]
     images = [base_image]
@@ -346,9 +362,10 @@ def write_ndpi_like_tiff(
     ifd_blobs: List[bytes] = []
     for img in images:
         lh, lw = img.shape[:2]
-        strip = encode_ndpi_strip(
+        strip, starts = encode_ndpi_strip(
             img, rows_per_chunk=rows_per_chunk, chunk_mcus_w=chunk_mcus_w,
-            quality=jpeg_quality, zero_sof_dims=zero_sof_dims)
+            quality=jpeg_quality, zero_sof_dims=zero_sof_dims,
+            return_mcu_starts=True)
         strip_off = alloc(strip)
 
         b = _IfdBuilder()
@@ -365,6 +382,8 @@ def write_ndpi_like_tiff(
         b.add(283, _TYPE_RATIONAL, [(num, den)])
         b.add(296, _TYPE_SHORT, [3])
         b.add(65421, _TYPE_FLOAT, [objective_power])
+        if mcu_starts:
+            b.add(65426, _TYPE_LONG, starts)
 
         entries = sorted(b.entries)
         ifd = struct.pack("<H", len(entries))

@@ -51,6 +51,7 @@ TAG_JPEG_TABLES = 347
 TAG_NDPI_SOURCELENS = 65421
 TAG_NDPI_MPP_X = 65422  # actually XOffsetFromSlideCentre; see notes below
 TAG_NDPI_MPP_Y = 65423
+TAG_NDPI_MCU_STARTS = 65426  # precomputed restart-chunk entropy offsets
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
                11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -75,6 +76,7 @@ class _Page:
     y_resolution: Optional[float] = None
     resolution_unit: int = 2
     source_lens: Optional[float] = None
+    mcu_starts: Optional[List[int]] = None
 
     @property
     def tiled(self) -> bool:
@@ -194,6 +196,9 @@ def _parse_page(f, endian: str, entries: Dict[int, tuple]) -> _Page:
     sl = get1(TAG_NDPI_SOURCELENS)
     if sl is not None:
         page.source_lens = float(sl)
+    ms = get(TAG_NDPI_MCU_STARTS)
+    if ms:
+        page.mcu_starts = [int(v) for v in ms]
     return page
 
 
@@ -234,7 +239,8 @@ class _NdpiStripIndex:
     """
 
     def __init__(self, data_reader, strip_offset: int, strip_size: int,
-                 page_width: int, page_height: int):
+                 page_width: int, page_height: int,
+                 mcu_starts: Optional[List[int]] = None):
         # data_reader(offset, size) -> bytes within the strip
         self._read = data_reader
         self._base = strip_offset
@@ -242,10 +248,14 @@ class _NdpiStripIndex:
         self.ok = False
         self.width = page_width
         self.height = page_height
+        self.used_mcu_starts = False
         try:
             self._parse_headers()
             self._build_grid()
-            self._scan_markers()
+            if mcu_starts and self._spans_from_mcu_starts(mcu_starts):
+                self.used_mcu_starts = True
+            else:
+                self._scan_markers()
             self.ok = (len(self.chunk_spans) == self.n_chunks)
         except Exception:
             self.ok = False
@@ -321,6 +331,34 @@ class _NdpiStripIndex:
                 f"restart interval {r} does not tile {mpr} MCUs/row")
         self.tiles_down = -(-self.height // self.tile_h)
         self.n_chunks = -(-(mpr * mrows) // r)
+
+    def _spans_from_mcu_starts(self, starts: List[int]) -> bool:
+        """Chunk spans from the NDPI McuStarts tag (65426): the
+        strip-relative offset of every restart chunk's first entropy byte,
+        precomputed by the scanner.  Using it makes index construction
+        O(chunks) instead of a sequential scan of the whole (multi-GB at
+        level 0) entropy stream.  The tag convention is validated against
+        the header-derived grid — entry count, monotonicity, first entry ==
+        entropy start, and an RST marker immediately before sampled
+        entries; any mismatch returns False and the caller falls back to
+        the marker scan, so a file whose tag deviates stays correct."""
+        if len(starts) != self.n_chunks or starts[0] != self.entropy_start:
+            return False
+        if any(b <= a for a, b in zip(starts, starts[1:])):
+            return False
+        if starts[-1] >= self._size:
+            return False
+        for j in {1, len(starts) // 2, len(starts) - 1}:
+            if j <= 0:
+                continue
+            mk = self._read(self._base + starts[j] - 2, 2)
+            if len(mk) != 2 or mk[0] != 0xFF or not 0xD0 <= mk[1] <= 0xD7:
+                return False
+        ends = [s - 2 for s in starts[1:]]
+        tail = self._read(self._base + self._size - 2, 2)
+        ends.append(self._size - 2 if tail == b"\xff\xd9" else self._size)
+        self.chunk_spans = list(zip(starts, ends))
+        return True
 
     def _scan_markers(self):
         """One sequential pass over the entropy stream; chunk_spans[j] =
@@ -486,7 +524,8 @@ class Slide:
 
             built = _NdpiStripIndex(read_at, page.offsets[0],
                                     page.byte_counts[0], page.width,
-                                    page.height)
+                                    page.height,
+                                    mcu_starts=page.mcu_starts)
             if built.ok:
                 idx = built
         self._ndpi_indices[level] = idx

@@ -193,6 +193,77 @@ def test_open_slide_dispatch_on_ndpi_layout(ndpi_path):
         assert (region[:, :, 3] == 255).all()
 
 
+def test_mcu_starts_tag_bit_identical(tmp_path, native_slide_cls):
+    """NDPI McuStarts tag (65426): real Hamamatsu scanners precompute the
+    restart-chunk entropy offsets; both readers must consume the tag and
+    produce output bit-identical to the scan-indexed file."""
+    img, _ = pas_like_image(530, 700, seed=3, n_glomeruli=4)
+    plain = str(tmp_path / "plain.ndpi.tiff")
+    tagged = str(tmp_path / "tagged.ndpi.tiff")
+    write_ndpi_like_tiff(plain, img, levels=2)
+    write_ndpi_like_tiff(tagged, img, levels=2, mcu_starts=True)
+
+    s = Slide(tagged)
+    assert s._ndpi_index(0).used_mcu_starts is True
+    ref = Slide(plain)
+    assert ref._ndpi_index(0).used_mcu_starts is False
+    for loc, size in [((0, 0), (700, 530)), ((123, 77), (300, 200))]:
+        np.testing.assert_array_equal(s.read_region_array(loc, 0, size),
+                                      ref.read_region_array(loc, 0, size))
+
+    ns = native_slide_cls(tagged)
+    assert ns.ndpi_index_mode(0) == 2  # indexed from the tag
+    assert native_slide_cls(plain).ndpi_index_mode(0) == 1  # marker scan
+    np.testing.assert_array_equal(
+        ns.read_region_array((123, 77), 0, (300, 200)),
+        ref.read_region_array((123, 77), 0, (300, 200)))
+
+
+def test_mcu_starts_skips_entropy_scan():
+    """With the tag, index construction reads only the JPEG headers plus
+    a few 2-byte marker probes — NOT the whole entropy stream (which is
+    multi-GB at level 0 of a real slide)."""
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import _NdpiStripIndex
+
+    img, _ = pas_like_image(2048, 512, seed=2, n_glomeruli=3)
+    strip, starts = encode_ndpi_strip(img, return_mcu_starts=True)
+    assert len(strip) > 2 * (1 << 16)  # claim below is meaningful
+
+    read_bytes = [0]
+
+    def read(off, size):
+        read_bytes[0] += size
+        return strip[off: off + size]
+
+    idx = _NdpiStripIndex(read, 0, len(strip), 512, 2048,
+                          mcu_starts=starts)
+    assert idx.ok and idx.used_mcu_starts
+    assert read_bytes[0] <= (1 << 16) + 64
+    # and the spans are exactly what the scan derives
+    scan = _NdpiStripIndex(read, 0, len(strip), 512, 2048)
+    assert not scan.used_mcu_starts
+    assert scan.chunk_spans == idx.chunk_spans
+
+
+def test_mcu_starts_invalid_falls_back_to_scan():
+    """A tag that fails validation (entry not preceded by an RST marker)
+    must be ignored — the reader falls back to the marker scan and stays
+    correct, guarding against files whose 65426 convention deviates."""
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import _NdpiStripIndex
+
+    img, _ = pas_like_image(256, 320, seed=4, n_glomeruli=2)
+    strip, starts = encode_ndpi_strip(img, return_mcu_starts=True)
+    read = lambda off, size: strip[off: off + size]  # noqa: E731
+    for bad in ([s + 1 for s in starts],          # first entry mismatch
+                starts[:-1],                      # wrong count
+                [starts[0]] + [s + 1 for s in starts[1:]]):  # probe fails
+        idx = _NdpiStripIndex(read, 0, len(strip), 320, 256, mcu_starts=bad)
+        assert idx.ok and not idx.used_mcu_starts
+        good = _NdpiStripIndex(read, 0, len(strip), 320, 256,
+                               mcu_starts=starts)
+        assert good.chunk_spans == idx.chunk_spans
+
+
 def test_scan_markers_terminates_on_short_reads():
     """StripByteCounts overstating the file (truncated slide) previously
     made the marker scan spin forever on a non-advancing read position;
