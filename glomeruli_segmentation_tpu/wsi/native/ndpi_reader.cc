@@ -134,8 +134,20 @@ class Reader {
     } else {
       return false;
     }
+    // Real NDPI stays CLASSIC TIFF past 4 GiB (level 0 of a 40x slide
+    // routinely is): stored 32-bit offsets wrap and must be reconstructed
+    // — directory positions by forward monotonicity + an IFD-shape probe,
+    // data offsets from the data-written-before-its-directory layout
+    // (fix_data_offset) — the same fixup OpenSlide applies.  For files
+    // whose structures are genuinely below 4 GiB this is the identity.
+    std::fseek(f_, 0, SEEK_END);
+    file_size_ = (uint64_t)std::ftell(f_);
+    needs_fix_ = !big_ && file_size_ > 0xFFFFFFFFull;
+    ifd_offset = fix_chain_offset(ifd_offset, 8);
     while (ifd_offset != 0) {
-      if (!parse_ifd(ifd_offset, &ifd_offset)) return false;
+      uint64_t cur = ifd_offset, next_raw = 0;
+      if (!parse_ifd(cur, &next_raw)) return false;
+      ifd_offset = fix_chain_offset(next_raw, cur);
     }
     // keep pyramid pages: same aspect ratio as the largest page, positive
     // source lens (NDPI macro/map images have negative lens values)
@@ -620,6 +632,52 @@ class Reader {
     return ints.empty() ? 0 : (double)ints[0];
   }
 
+  // Probe whether `off` points at a sane classic-TIFF IFD: entry count in
+  // [1, 4096], tag ids sorted nondecreasing (the TIFF spec requires
+  // sorted tags).  Disambiguates wrapped >4 GiB directory offsets.
+  bool plausible_ifd(uint64_t off) {
+    if (off + 2 > file_size_) return false;
+    uint8_t hb[2];
+    if (!read_at(off, 2, hb)) return false;
+    uint16_t n = rd16(hb);
+    if (n == 0 || n > 4096) return false;
+    std::vector<uint8_t> raw((size_t)n * 12);
+    if (!read_at(off + 2, raw.size(), raw.data())) return false;
+    uint16_t prev_tag = 0;
+    for (uint16_t i = 0; i < n; i++) {
+      uint16_t t = rd16(raw.data() + (size_t)i * 12);
+      if (t < prev_tag) return false;
+      prev_tag = t;
+    }
+    return true;
+  }
+
+  // Directories appear in increasing file order: pick the smallest
+  // raw + k*2^32 past prev_pos that probes as an IFD.  See open().
+  uint64_t fix_chain_offset(uint64_t raw, uint64_t prev_pos) {
+    if (raw == 0 || !needs_fix_) return raw;
+    uint64_t cand = (prev_pos & ~0xFFFFFFFFull) | (raw & 0xFFFFFFFFull);
+    if (cand <= prev_pos) cand += 1ull << 32;
+    while (cand + 2 <= file_size_) {
+      if (plausible_ifd(cand)) return cand;
+      cand += 1ull << 32;
+    }
+    return raw;  // give up; let the caller fail loudly
+  }
+
+  // Data (payload / strip / tile) offsets: the scanner writes each
+  // directory AFTER the data it points to, so the true offset is the
+  // largest raw + k*2^32 not beyond the directory's own position.
+  uint64_t fix_data_offset(uint64_t raw, uint64_t dir_pos) const {
+    if (!needs_fix_) return raw;
+    uint64_t cand = (dir_pos & ~0xFFFFFFFFull) | (raw & 0xFFFFFFFFull);
+    if (cand > dir_pos) {
+      if (cand < (1ull << 32)) return raw;
+      cand -= 1ull << 32;
+    }
+    return cand;
+  }
+
   bool parse_ifd(uint64_t offset, uint64_t* next) {
     std::fseek(f_, (long)offset, SEEK_SET);
     uint64_t n_entries;
@@ -654,7 +712,8 @@ class Reader {
       if (entry.is_inline) {
         std::memcpy(entry.inline_value, value, inline_cap);
       } else {
-        entry.value_offset = big_ ? rd64(value) : rd32(value);
+        entry.value_offset =
+            fix_data_offset(big_ ? rd64(value) : rd32(value), offset);
       }
       switch (tag) {
         case TAG_IMAGE_WIDTH: page.width = entry_ints(entry)[0]; break;
@@ -668,7 +727,10 @@ class Reader {
         case TAG_TILE_WIDTH: page.tile_width = entry_ints(entry)[0]; break;
         case TAG_TILE_LENGTH: page.tile_height = entry_ints(entry)[0]; break;
         case TAG_TILE_OFFSETS:
-        case TAG_STRIP_OFFSETS: page.offsets = entry_ints(entry); break;
+        case TAG_STRIP_OFFSETS:
+          page.offsets = entry_ints(entry);
+          for (auto& o : page.offsets) o = fix_data_offset(o, offset);
+          break;
         case TAG_TILE_BYTE_COUNTS:
         case TAG_STRIP_BYTE_COUNTS:
           page.byte_counts = entry_ints(entry); break;
@@ -693,6 +755,8 @@ class Reader {
 
   FILE* f_ = nullptr;
   bool little_ = true, big_ = false;
+  uint64_t file_size_ = 0;
+  bool needs_fix_ = false;  // classic TIFF > 4 GiB: wrapped 32-bit offsets
   std::vector<Page> pages_;
   std::mutex file_mu_, cache_mu_, ndpi_mu_;
   std::map<std::pair<int, int64_t>, std::shared_ptr<std::vector<uint8_t>>>

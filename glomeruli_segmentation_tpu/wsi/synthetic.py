@@ -321,6 +321,7 @@ def write_ndpi_like_tiff(
     jpeg_quality: int = 90,
     zero_sof_dims: bool = False,
     mcu_starts: bool = False,
+    offset_pad: int = 0,
 ) -> None:
     """Write a classic TIFF in the real Hamamatsu NDPI layout: each level
     is ONE JPEG strip (RowsPerStrip = ImageLength) with restart markers
@@ -332,6 +333,16 @@ def write_ndpi_like_tiff(
     strip-relative entropy offset of every restart chunk, which real
     Hamamatsu scanners precompute so readers can index a level without
     scanning its whole entropy stream.
+
+    ``offset_pad`` inserts a sparse hole after the header before any
+    payload, pushing every structure ``offset_pad`` bytes down the file.
+    With a pad > 4 GiB this reproduces the real >4 GiB NDPI quirk: the
+    format stays CLASSIC TIFF (Hamamatsu never writes BigTIFF; level 0
+    of a 40x slide routinely exceeds 4 GiB), every stored offset is its
+    true position modulo 2^32, and readers must reconstruct the high
+    bits from the data-written-before-its-directory layout — the same
+    fixup OpenSlide applies.  The hole is never written, so the on-disk
+    cost is only the real payload (sparse file).
     """
     h, w = base_image.shape[:2]
     images = [base_image]
@@ -344,66 +355,73 @@ def write_ndpi_like_tiff(
         den //= 10
         num = int(round(10000.0 / mpp * den))
 
-    chunks: List[bytes] = []
-    header = struct.pack("<2sHI", b"II", 42, 0)
-    pos = len(header)
+    def store32(off: int) -> int:
+        """Stored form of a file offset: real NDPI wraps to low 32 bits."""
+        if off < 2**32:
+            return off
+        if not offset_pad:
+            raise ValueError(f"offset {off} needs offset_pad (wrap) mode")
+        return off & 0xFFFFFFFF
 
-    def alloc(data: bytes) -> int:
-        nonlocal pos
-        if pos % 2:
-            chunks.append(b"\0")
-            pos += 1
-        off = pos
-        chunks.append(data)
-        pos += len(data)
-        return off
-
-    ifd_offsets: List[int] = []
-    ifd_blobs: List[bytes] = []
-    for img in images:
-        lh, lw = img.shape[:2]
-        strip, starts = encode_ndpi_strip(
-            img, rows_per_chunk=rows_per_chunk, chunk_mcus_w=chunk_mcus_w,
-            quality=jpeg_quality, zero_sof_dims=zero_sof_dims,
-            return_mcu_starts=True)
-        strip_off = alloc(strip)
-
-        b = _IfdBuilder()
-        b.add(256, _TYPE_LONG, [lw])
-        b.add(257, _TYPE_LONG, [lh])
-        b.add(258, _TYPE_SHORT, [8, 8, 8])
-        b.add(259, _TYPE_SHORT, [7])
-        b.add(262, _TYPE_SHORT, [6])
-        b.add(273, _TYPE_LONG, [strip_off])
-        b.add(277, _TYPE_SHORT, [3])
-        b.add(278, _TYPE_LONG, [lh])  # RowsPerStrip == ImageLength
-        b.add(279, _TYPE_LONG, [len(strip)])
-        b.add(282, _TYPE_RATIONAL, [(num, den)])
-        b.add(283, _TYPE_RATIONAL, [(num, den)])
-        b.add(296, _TYPE_SHORT, [3])
-        b.add(65421, _TYPE_FLOAT, [objective_power])
-        if mcu_starts:
-            b.add(65426, _TYPE_LONG, starts)
-
-        entries = sorted(b.entries)
-        ifd = struct.pack("<H", len(entries))
-        body = b""
-        for tag, typ, cnt, payload in entries:
-            if len(payload) <= 4:
-                body += struct.pack("<HHI", tag, typ, cnt) + payload.ljust(
-                    4, b"\0")
-            else:
-                off = alloc(payload)
-                body += struct.pack("<HHII", tag, typ, cnt, off)
-        ifd += body + struct.pack("<I", 0)
-        ifd_offsets.append(alloc(ifd))
-        ifd_blobs.append(ifd)
-
-    payload = b"".join(chunks)
-    buf = bytearray(header + payload)
-    struct.pack_into("<I", buf, 4, ifd_offsets[0])
-    for i in range(len(ifd_offsets) - 1):
-        end = ifd_offsets[i] + len(ifd_blobs[i]) - 4
-        struct.pack_into("<I", buf, end, ifd_offsets[i + 1])
     with open(path, "wb") as f:
-        f.write(bytes(buf))
+        f.write(struct.pack("<2sHI", b"II", 42, 0))
+        pos = 8 + offset_pad
+
+        def alloc(data: bytes) -> int:
+            nonlocal pos
+            if pos % 2:
+                pos += 1
+            off = pos
+            f.seek(off)
+            f.write(data)
+            pos += len(data)
+            return off
+
+        ifd_offsets: List[int] = []
+        ifd_sizes: List[int] = []
+        for img in images:
+            lh, lw = img.shape[:2]
+            strip, starts = encode_ndpi_strip(
+                img, rows_per_chunk=rows_per_chunk,
+                chunk_mcus_w=chunk_mcus_w, quality=jpeg_quality,
+                zero_sof_dims=zero_sof_dims, return_mcu_starts=True)
+            strip_off = alloc(strip)
+
+            b = _IfdBuilder()
+            b.add(256, _TYPE_LONG, [lw])
+            b.add(257, _TYPE_LONG, [lh])
+            b.add(258, _TYPE_SHORT, [8, 8, 8])
+            b.add(259, _TYPE_SHORT, [7])
+            b.add(262, _TYPE_SHORT, [6])
+            b.add(273, _TYPE_LONG, [store32(strip_off)])
+            b.add(277, _TYPE_SHORT, [3])
+            b.add(278, _TYPE_LONG, [lh])  # RowsPerStrip == ImageLength
+            b.add(279, _TYPE_LONG, [len(strip)])
+            b.add(282, _TYPE_RATIONAL, [(num, den)])
+            b.add(283, _TYPE_RATIONAL, [(num, den)])
+            b.add(296, _TYPE_SHORT, [3])
+            b.add(65421, _TYPE_FLOAT, [objective_power])
+            if mcu_starts:
+                b.add(65426, _TYPE_LONG, starts)
+
+            entries = sorted(b.entries)
+            ifd = struct.pack("<H", len(entries))
+            body = b""
+            for tag, typ, cnt, payload in entries:
+                if len(payload) <= 4:
+                    body += struct.pack("<HHI", tag, typ,
+                                        cnt) + payload.ljust(4, b"\0")
+                else:
+                    off = alloc(payload)
+                    body += struct.pack("<HHII", tag, typ, cnt,
+                                        store32(off))
+            ifd += body + struct.pack("<I", 0)
+            ifd_offsets.append(alloc(ifd))
+            ifd_sizes.append(len(ifd))
+
+        # patch the first-IFD pointer and the next-IFD chain
+        f.seek(4)
+        f.write(struct.pack("<I", store32(ifd_offsets[0])))
+        for i in range(len(ifd_offsets) - 1):
+            f.seek(ifd_offsets[i] + ifd_sizes[i] - 4)
+            f.write(struct.pack("<I", store32(ifd_offsets[i + 1])))

@@ -87,7 +87,59 @@ class TiffParseError(Exception):
     pass
 
 
-def _read_ifds(f) -> Tuple[List[Dict[int, tuple]], str]:
+def _plausible_ifd(f, endian: str, offset: int, file_size: int) -> bool:
+    """Probe whether ``offset`` points at a sane classic-TIFF IFD: entry
+    count in [1, 4096] and tag ids sorted nondecreasing (the TIFF spec
+    requires sorted tags).  Used to disambiguate wrapped >4 GiB offsets."""
+    if offset + 2 > file_size:
+        return False
+    f.seek(offset)
+    head = f.read(2)
+    if len(head) < 2:
+        return False
+    (n,) = struct.unpack(endian + "H", head)
+    if not 1 <= n <= 4096:
+        return False
+    raw = f.read(n * 12)
+    if len(raw) < n * 12:
+        return False
+    tags = [struct.unpack(endian + "H", raw[i * 12: i * 12 + 2])[0]
+            for i in range(n)]
+    return all(a <= b for a, b in zip(tags, tags[1:]))
+
+
+def _data_offset_fixer(dir_pos: int):
+    """Reconstruct a wrapped 32-bit data offset (out-of-line tag payload
+    or strip/tile position) inside a >4 GiB classic-TIFF NDPI file.
+
+    Real Hamamatsu NDPI stays classic TIFF past 4 GiB (level 0 of a 40x
+    slide routinely is), storing every offset modulo 2^32; the scanner
+    writes each directory AFTER the data it points to, so the true
+    offset is the largest ``raw + k * 2^32`` not beyond the directory's
+    own (already reconstructed) position — the same fixup OpenSlide
+    applies.  For structures genuinely below 4 GiB this is the identity.
+    """
+    high = dir_pos & ~0xFFFFFFFF
+
+    def fix(raw: int) -> int:
+        cand = high | raw
+        if cand > dir_pos:
+            cand -= 1 << 32
+        return cand if cand >= 0 else raw
+
+    return fix
+
+
+def _read_ifds(f):
+    """Parse the IFD chain.  Returns ``(ifds, endian, needs_fix)`` where
+    ``ifds`` is a list of ``(entries, dir_pos)``; ``needs_fix`` is True
+    for a classic TIFF larger than 4 GiB (the real-NDPI layout), whose
+    stored 32-bit offsets wrap and must be reconstructed — directory
+    positions by forward monotonicity + a plausibility probe, data
+    offsets by :func:`_data_offset_fixer`."""
+    f.seek(0, 2)
+    file_size = f.tell()
+    f.seek(0)
     header = f.read(8)
     if header[:2] == b"II":
         endian = "<"
@@ -108,9 +160,26 @@ def _read_ifds(f) -> Tuple[List[Dict[int, tuple]], str]:
         entry_size, count_fmt, off_fmt = 12, "H", "I"
     else:
         raise TiffParseError(f"unknown TIFF version {version}")
+    needs_fix = not big and file_size > 0xFFFFFFFF
 
+    def fix_chain(raw: int, prev_pos: int) -> int:
+        """Directories appear in increasing file order; pick the smallest
+        ``raw + k * 2^32`` past ``prev_pos`` that probes as an IFD."""
+        if raw == 0 or not needs_fix:
+            return raw
+        cand = (prev_pos & ~0xFFFFFFFF) | raw
+        if cand <= prev_pos:
+            cand += 1 << 32
+        while cand + 2 <= file_size:
+            if _plausible_ifd(f, endian, cand, file_size):
+                return cand
+            cand += 1 << 32
+        return raw  # give up; let the caller fail loudly
+
+    ifd_offset = fix_chain(ifd_offset, 8)
     ifds = []
     while ifd_offset:
+        dir_pos = ifd_offset
         f.seek(ifd_offset)
         (n_entries,) = struct.unpack(
             endian + count_fmt, f.read(struct.calcsize(count_fmt)))
@@ -127,11 +196,12 @@ def _read_ifds(f) -> Tuple[List[Dict[int, tuple]], str]:
             entries[tag] = (typ, cnt, value_bytes)
         (ifd_offset,) = struct.unpack(endian + off_fmt,
                                       f.read(struct.calcsize(off_fmt)))
-        ifds.append(entries)
-    return ifds, endian
+        ifds.append((entries, dir_pos))
+        ifd_offset = fix_chain(ifd_offset, dir_pos)
+    return ifds, endian, needs_fix
 
 
-def _tag_values(f, endian: str, entry: tuple):
+def _tag_values(f, endian: str, entry: tuple, fix=None):
     typ, cnt, value_bytes = entry
     size = _TYPE_SIZES.get(typ)
     if size is None:
@@ -142,6 +212,8 @@ def _tag_values(f, endian: str, entry: tuple):
     else:
         fmt = "Q" if len(value_bytes) == 8 else "I"
         (offset,) = struct.unpack(endian + fmt, value_bytes)
+        if fix is not None:
+            offset = fix(offset)
         f.seek(offset)
         data = f.read(total)
     if typ == 2:  # ASCII
@@ -157,13 +229,14 @@ def _tag_values(f, endian: str, entry: tuple):
     return list(struct.unpack(endian + fmt * cnt, data))
 
 
-def _parse_page(f, endian: str, entries: Dict[int, tuple]) -> _Page:
+def _parse_page(f, endian: str, entries: Dict[int, tuple],
+                fix=None) -> _Page:
     page = _Page()
 
     def get(tag, default=None):
         if tag not in entries:
             return default
-        return _tag_values(f, endian, entries[tag])
+        return _tag_values(f, endian, entries[tag], fix)
 
     def get1(tag, default=None):
         v = get(tag)
@@ -187,6 +260,8 @@ def _parse_page(f, endian: str, entries: Dict[int, tuple]) -> _Page:
     else:
         page.offsets = [int(v) for v in get(TAG_STRIP_OFFSETS, [])]
         page.byte_counts = [int(v) for v in get(TAG_STRIP_BYTE_COUNTS, [])]
+    if fix is not None:  # strip/tile positions are file offsets too
+        page.offsets = [fix(v) for v in page.offsets]
     jt = get(TAG_JPEG_TABLES)
     if jt:
         page.jpeg_tables = bytes(jt)
@@ -427,8 +502,11 @@ class Slide:
     def __init__(self, path: str, tile_cache_size: int = 64):
         self.path = path
         self._f = open(path, "rb")
-        ifds, self._endian = _read_ifds(self._f)
-        pages = [_parse_page(self._f, self._endian, e) for e in ifds]
+        ifds, self._endian, needs_fix = _read_ifds(self._f)
+        pages = [
+            _parse_page(self._f, self._endian, entries,
+                        _data_offset_fixer(dir_pos) if needs_fix else None)
+            for entries, dir_pos in ifds]
         # keep only pyramid pages (full-resolution aspect ratio); NDPI also
         # stores a macro image and a map image with source_lens < 0
         pages = [p for p in pages if p.width > 0 and p.height > 0

@@ -264,6 +264,59 @@ def test_mcu_starts_invalid_falls_back_to_scan():
         assert good.chunk_spans == idx.chunk_spans
 
 
+def test_wrapped_offsets_over_4gib(tmp_path, native_slide_cls):
+    """Real NDPI stays CLASSIC TIFF past 4 GiB (level 0 of a 40x slide
+    routinely is): stored 32-bit offsets are the true positions modulo
+    2^32, and readers must reconstruct the high bits — directory offsets
+    by forward monotonicity + an IFD probe, data offsets from the
+    data-written-before-its-directory layout (the OpenSlide fixup).  The
+    fixture pushes every structure past 4 GiB via a sparse hole; both
+    readers must match the unpadded file exactly."""
+    img, _ = pas_like_image(530, 700, seed=3, n_glomeruli=4)
+    plain = str(tmp_path / "plain.ndpi.tiff")
+    big = str(tmp_path / "big.ndpi.tiff")
+    write_ndpi_like_tiff(plain, img, levels=2, mcu_starts=True)
+    write_ndpi_like_tiff(big, img, levels=2, mcu_starts=True,
+                         offset_pad=(1 << 32) + 12345)
+    assert os.path.getsize(big) > (1 << 32)
+    # the hole is sparse: on-disk cost is only the real payload
+    assert os.stat(big).st_blocks * 512 < os.path.getsize(plain) + (1 << 20)
+
+    ref = Slide(plain)
+    cases = [((0, 0), 0, (700, 530)), ((123, 77), 0, (300, 200)),
+             ((64, 64), 1, (256, 200))]
+    s = Slide(big)
+    assert s.level_dimensions == ref.level_dimensions
+    assert (s.properties["openslide.mpp-x"]
+            == ref.properties["openslide.mpp-x"])
+    assert s.properties["openslide.objective-power"] == "40"
+    # the out-of-line McuStarts payload was reconstructed too
+    assert s._ndpi_index(0).used_mcu_starts is True
+    for loc, lvl, size in cases:
+        np.testing.assert_array_equal(s.read_region_array(loc, lvl, size),
+                                      ref.read_region_array(loc, lvl, size))
+
+    ns = native_slide_cls(big)
+    assert ns.level_dimensions == ref.level_dimensions
+    assert abs(float(ns.properties["openslide.mpp-x"])
+               - float(ref.properties["openslide.mpp-x"])) < 1e-9
+    assert ns.ndpi_index_mode(0) == 2
+    for loc, lvl, size in cases:
+        np.testing.assert_array_equal(ns.read_region_array(loc, lvl, size),
+                                      ref.read_region_array(loc, lvl, size))
+
+
+def test_offset_pad_refused_without_wrap(tmp_path):
+    """Without wrap mode the writer must refuse >4 GiB offsets rather
+    than silently truncating them."""
+    img, _ = pas_like_image(64, 64, seed=0, n_glomeruli=1)
+    # monkey-style: a tiny pad below 4 GiB keeps offsets under 2^32 legal
+    write_ndpi_like_tiff(str(tmp_path / "ok.tiff"), img, levels=1,
+                         offset_pad=1 << 20)
+    s = Slide(str(tmp_path / "ok.tiff"))
+    assert s.dimensions == (64, 64)
+
+
 def test_scan_markers_terminates_on_short_reads():
     """StripByteCounts overstating the file (truncated slide) previously
     made the marker scan spin forever on a non-advancing read position;
