@@ -34,8 +34,11 @@ def _load_lib():
             fn.argtypes = [ctypes.c_void_p]
         lib.gs_chunk_decodes.restype = ctypes.c_int64
         lib.gs_chunk_decodes.argtypes = [ctypes.c_void_p]
-        lib.gs_ndpi_index_mode.restype = ctypes.c_int
-        lib.gs_ndpi_index_mode.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        try:  # newer ABI; a stale .so still loads without it
+            lib.gs_ndpi_index_mode.restype = ctypes.c_int
+            lib.gs_ndpi_index_mode.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        except AttributeError:
+            pass
         lib.gs_read_region.restype = ctypes.c_int
         lib.gs_read_region.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
@@ -113,7 +116,12 @@ class NativeSlide:
     def ndpi_index_mode(self, level: int) -> int:
         """0 = no virtual-tile index, 1 = entropy-stream marker scan,
         2 = indexed from the NDPI McuStarts tag (65426)."""
-        return self._lib.gs_ndpi_index_mode(self._handle, level)
+        try:
+            fn = self._lib.gs_ndpi_index_mode
+        except AttributeError:
+            raise NotImplementedError(
+                "stale _ndpi_reader.so: rebuild with wsi/native/build.sh")
+        return fn(self._handle, level)
 
     def read_region_array(self, location, level, size) -> np.ndarray:
         x, y = location
