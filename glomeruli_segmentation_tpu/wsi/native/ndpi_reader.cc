@@ -145,6 +145,8 @@ class Reader {
     needs_fix_ = !big_ && file_size_ > 0xFFFFFFFFull;
     ifd_offset = fix_chain_offset(ifd_offset, 8);
     while (ifd_offset != 0) {
+      // corrupt chain (cycle / runaway): fail instead of hanging
+      if (pages_.size() >= 1024) return false;
       uint64_t cur = ifd_offset, next_raw = 0;
       if (!parse_ifd(cur, &next_raw)) return false;
       ifd_offset = fix_chain_offset(next_raw, cur);

@@ -179,6 +179,8 @@ def _read_ifds(f):
     ifd_offset = fix_chain(ifd_offset, 8)
     ifds = []
     while ifd_offset:
+        if len(ifds) >= 1024:  # corrupt chain (cycle / runaway): fail, not hang
+            raise TiffParseError("IFD chain exceeds 1024 directories")
         dir_pos = ifd_offset
         f.seek(ifd_offset)
         (n_entries,) = struct.unpack(

@@ -316,6 +316,28 @@ def test_offset_pad_below_4gib_is_plain_sparse_tiff(tmp_path):
     assert s.dimensions == (64, 64)
 
 
+def test_cyclic_ifd_chain_fails_not_hangs(tmp_path, native_slide_cls):
+    """A next-IFD pointer that points back at itself (corrupt download)
+    must produce a clean failure in both readers, never an infinite
+    parse loop."""
+    img, _ = pas_like_image(64, 64, seed=0, n_glomeruli=1)
+    path = str(tmp_path / "cyclic.tiff")
+    write_ndpi_like_tiff(path, img, levels=1)
+    data = bytearray(open(path, "rb").read())
+    import struct as _struct
+
+    (first_ifd,) = _struct.unpack("<I", data[4:8])
+    (n_entries,) = _struct.unpack("<H", data[first_ifd: first_ifd + 2])
+    next_ptr = first_ifd + 2 + 12 * n_entries
+    _struct.pack_into("<I", data, next_ptr, first_ifd)  # self-cycle
+    open(path, "wb").write(bytes(data))
+
+    with pytest.raises(Exception):
+        Slide(path)
+    with pytest.raises(Exception):
+        native_slide_cls(path)
+
+
 def test_scan_markers_terminates_on_short_reads():
     """StripByteCounts overstating the file (truncated slide) previously
     made the marker scan spin forever on a non-advancing read position;
