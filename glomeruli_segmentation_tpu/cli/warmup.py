@@ -11,6 +11,13 @@ Programs warmed:
 - the 5-fold ESPNet ensemble forward + the /8 stitch-gather variant at
   each crop bucket (multiples of 256, same bucketing as
   ``FusedSlideSegmenter.segment_slide``);
+- the flat-transfer variants of both (the single-device production
+  default): every quantized flat buffer length is its own program —
+  one per eighth of the padded batch's byte size — so each requested
+  ``--flat_eighths`` value compiles two more programs.  The default
+  warms eighths 5-9, the sizes real crop batches land on (measured
+  ~0.72-0.75 fill + slack); pass ``--flat_eighths 1 2 3 4 5 6 7 8 9``
+  for full coverage or ``--transfer padded`` to skip;
 - the detector at each window geometry (native ``detector.ckpt.pth`` or
   the reference's ``frozen_inference_graph.pb``), when ``--model`` is
   given.
@@ -30,6 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "xla", "fused", "packed"])
     parser.add_argument("--buckets", type=int, nargs="*", default=[512],
                         help="crop bucket sizes (multiples of 256) to warm")
+    parser.add_argument("--transfer", default="both",
+                        choices=["both", "padded", "flat"],
+                        help="crop-transfer layouts to warm (flat is the "
+                             "single-device production default)")
+    parser.add_argument("--flat_eighths", type=int, nargs="*",
+                        default=[5, 6, 7, 8, 9],
+                        help="flat buffer lengths to warm, in eighths of "
+                             "the padded batch bytes (each is a distinct "
+                             "compiled program)")
     parser.add_argument("--pack_output", action="store_true",
                         help="warm the packed-readback variant of the "
                              "full-res program (matches gseg-e2e/"
@@ -65,17 +81,33 @@ def main(argv=None):
             engine=args.engine)
         bs = args.seg_batch_size
         for bucket in args.buckets:
-            padded = np.zeros((bs, bucket, bucket, 3), np.uint8)
             hs = np.full(bs, bucket - 62, np.int32)
-            print(f"warming ensemble bucket {bucket} (full-res path)...",
-                  flush=True)
-            ens.segment_batch_padded(padded, hs, hs)
-            print(f"warming ensemble bucket {bucket} (/8 gather path)...",
-                  flush=True)
             ys = np.zeros((bs, bucket // 8), np.int32)
             xs = np.zeros((bs, bucket // 8), np.int32)
-            ens.segment_batch_gather(padded, hs, hs, ys, xs)
-            did.append(f"ensemble@{bucket}")
+            if args.transfer in ("both", "padded"):
+                padded = np.zeros((bs, bucket, bucket, 3), np.uint8)
+                print(f"warming ensemble bucket {bucket} (full-res path)...",
+                      flush=True)
+                ens.segment_batch_padded(padded, hs, hs)
+                print(f"warming ensemble bucket {bucket} (/8 gather "
+                      "path)...", flush=True)
+                ens.segment_batch_gather(padded, hs, hs, ys, xs)
+                did.append(f"ensemble@{bucket}")
+            if args.transfer in ("both", "flat"):
+                # one program per quantized flat buffer length (see
+                # ops.preprocess.pack_crops_flat: quantum = padded/8)
+                quantum = max(1, bs * bucket * bucket * 3 // 8)
+                offs = np.zeros(bs, np.int32)
+                ones = np.ones(bs, np.int32)
+                for k in args.flat_eighths:
+                    flat = np.zeros(k * quantum, np.uint8)
+                    print(f"warming ensemble bucket {bucket} flat {k}/8 "
+                          "(full-res + /8 gather)...", flush=True)
+                    np.asarray(ens.submit_batch_flat(
+                        flat, offs, ones, ones, bucket, bucket))
+                    np.asarray(ens.submit_batch_gather_flat(
+                        flat, offs, ones, ones, ys, xs, bucket, bucket))
+                    did.append(f"ensemble@{bucket}:flat{k}/8")
 
     if args.model:
         from .detect import load_backend
