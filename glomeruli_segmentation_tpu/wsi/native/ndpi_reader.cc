@@ -205,6 +205,8 @@ class Reader {
     auto idx = std::make_unique<NdpiIndex>();
     const Page& p = pages_[level];
     if (!p.tiled() && p.compression == 7 && p.offsets.size() == 1 &&
+        p.byte_counts.size() == 1 && p.byte_counts[0] > 0 &&
+        p.byte_counts[0] <= file_size_ &&
         p.rows_per_strip >= p.height && p.jpeg_tables.size() <= 4) {
       build_ndpi_index(p, idx.get());
     }
@@ -219,6 +221,7 @@ class Reader {
   std::shared_ptr<std::vector<uint8_t>> chunk(int level, int64_t index,
                                               int64_t* cw, int64_t* ch) {
     const Page& p = pages_[level];
+    if (index < 0) return nullptr;
     const NdpiIndex* nd = nullptr;
     {
       std::lock_guard<std::mutex> lock(ndpi_mu_);
@@ -236,6 +239,11 @@ class Reader {
       int64_t row0 = index * p.rows_per_strip;
       *ch = std::min<int64_t>(p.rows_per_strip, p.height - row0);
     }
+    // corrupt tags can yield empty/negative chunk geometry or absurd
+    // pixel counts; fail the read instead of allocating on faith
+    if (*cw <= 0 || *ch <= 0 ||
+        (uint64_t)*cw * (uint64_t)*ch > (1ull << 31))
+      return nullptr;
     if (nd) {
       {
         std::lock_guard<std::mutex> lock(cache_mu_);
@@ -252,6 +260,12 @@ class Reader {
       }
       return out;
     }
+    // a corrupt tile/strip grid can index past the offset tables, and a
+    // corrupt byte count can demand a larger-than-file allocation
+    if ((uint64_t)index >= p.offsets.size() ||
+        (uint64_t)index >= p.byte_counts.size() ||
+        p.byte_counts[index] > file_size_)
+      return nullptr;
     {
       std::lock_guard<std::mutex> lock(cache_mu_);
       auto it = cache_.find({level, index});
@@ -315,6 +329,10 @@ class Reader {
     JpegError jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = jpeg_error_exit;
+    // constructed BEFORE setjmp: an error longjmp would skip the
+    // destructor of anything initialized after it (leak on every
+    // malformed JPEG)
+    std::vector<uint8_t> row;
     if (setjmp(jerr.jump)) {
       jpeg_destroy_decompress(&cinfo);
       return false;
@@ -325,7 +343,7 @@ class Reader {
     cinfo.out_color_space = JCS_RGB;
     jpeg_start_decompress(&cinfo);
     int64_t w = std::min<int64_t>(cinfo.output_width, cw);
-    std::vector<uint8_t> row(cinfo.output_width * 3);
+    row.resize((size_t)cinfo.output_width * 3);
     JSAMPROW rowptr = row.data();
     for (int64_t y = 0; y < (int64_t)cinfo.output_height; y++) {
       jpeg_read_scanlines(&cinfo, &rowptr, 1);
@@ -528,6 +546,9 @@ class Reader {
       int64_t ch) {
     if (index < 0 || index >= (int64_t)nd.spans.size()) return nullptr;
     auto [s, e] = nd.spans[index];
+    // inverted spans (possible from a corrupt McuStarts tag with gaps
+    // < 2 bytes) would underflow e - s into a giant allocation
+    if (e < s || e - s > file_size_) return nullptr;
     std::vector<uint8_t> jpeg(nd.headers.size() + (e - s) + 2);
     std::memcpy(jpeg.data(), nd.headers.data(), nd.headers.size());
     jpeg[nd.sof_off + 5] = (uint8_t)(ch >> 8);
@@ -551,6 +572,9 @@ class Reader {
   bool copy_raw(const Page& p, const std::vector<uint8_t>& data, uint8_t* out,
                 int64_t cw, int64_t ch) {
     int spp = p.samples_per_pixel;
+    // the generic branch reads 3 bytes at stride spp, so spp must be 1
+    // or >= 3; a corrupt tag can also make the size check overflow
+    if (spp != 1 && (spp < 3 || spp > 64)) return false;
     if ((int64_t)data.size() < cw * ch * spp) return false;
     if (spp == 3) {
       std::memcpy(out, data.data(), cw * ch * 3);
@@ -580,7 +604,11 @@ class Reader {
   }
 
   std::vector<uint8_t> entry_data(const Entry& e) {
+    // a corrupt count can demand a larger-than-file (or overflowing)
+    // allocation; no real entry's payload can exceed the file itself
+    if (e.count > file_size_) return {};
     size_t total = type_size(e.type) * e.count;
+    if (!e.is_inline && total > file_size_) return {};
     std::vector<uint8_t> buf(total);
     if (e.is_inline) {
       std::memcpy(buf.data(), e.inline_value, total);
@@ -693,6 +721,9 @@ class Reader {
       if (std::fread(b, 1, 2, f_) != 2) return false;
       n_entries = rd16(b);
     }
+    // classic TIFF caps at 65535 entries by format; a corrupt BigTIFF
+    // count would otherwise size a multi-GB allocation
+    if (n_entries == 0 || n_entries > 65535) return false;
     std::vector<uint8_t> raw(n_entries * entry_size);
     if (std::fread(raw.data(), 1, raw.size(), f_) != raw.size()) return false;
     uint8_t nb[8];
@@ -718,16 +749,16 @@ class Reader {
             fix_data_offset(big_ ? rd64(value) : rd32(value), offset);
       }
       switch (tag) {
-        case TAG_IMAGE_WIDTH: page.width = entry_ints(entry)[0]; break;
-        case TAG_IMAGE_LENGTH: page.height = entry_ints(entry)[0]; break;
-        case TAG_COMPRESSION: page.compression = (int)entry_ints(entry)[0];
+        case TAG_IMAGE_WIDTH: page.width = first_int(entry); break;
+        case TAG_IMAGE_LENGTH: page.height = first_int(entry); break;
+        case TAG_COMPRESSION: page.compression = (int)first_int(entry);
           break;
         case TAG_SAMPLES_PER_PIXEL:
-          page.samples_per_pixel = (int)entry_ints(entry)[0]; break;
+          page.samples_per_pixel = (int)first_int(entry); break;
         case TAG_ROWS_PER_STRIP:
-          page.rows_per_strip = entry_ints(entry)[0]; break;
-        case TAG_TILE_WIDTH: page.tile_width = entry_ints(entry)[0]; break;
-        case TAG_TILE_LENGTH: page.tile_height = entry_ints(entry)[0]; break;
+          page.rows_per_strip = first_int(entry); break;
+        case TAG_TILE_WIDTH: page.tile_width = first_int(entry); break;
+        case TAG_TILE_LENGTH: page.tile_height = first_int(entry); break;
         case TAG_TILE_OFFSETS:
         case TAG_STRIP_OFFSETS:
           page.offsets = entry_ints(entry);
@@ -742,7 +773,7 @@ class Reader {
         case TAG_Y_RESOLUTION:
           page.y_resolution = entry_rational(entry); break;
         case TAG_RESOLUTION_UNIT:
-          page.resolution_unit = (int)entry_ints(entry)[0]; break;
+          page.resolution_unit = (int)first_int(entry); break;
         case TAG_NDPI_SOURCELENS:
           page.source_lens = entry_float(entry); break;
         case TAG_NDPI_MCU_STARTS:
@@ -751,8 +782,23 @@ class Reader {
       }
     }
     if (page.rows_per_strip == 0) page.rows_per_strip = page.height;
+    // cap geometry at 16M px per side (far beyond any real slide): a
+    // corrupt dimension would otherwise overflow area/grid arithmetic
+    const int64_t kMaxDim = int64_t(1) << 24;
+    if (page.width > kMaxDim || page.height > kMaxDim ||
+        page.tile_width > kMaxDim || page.tile_height > kMaxDim ||
+        page.rows_per_strip > kMaxDim ||
+        page.width < 0 || page.height < 0 || page.tile_width < 0 ||
+        page.tile_height < 0 || page.rows_per_strip < 0) {
+      page.width = page.height = 0;  // drops in open()'s keep filter
+    }
     pages_.push_back(std::move(page));
     return true;
+  }
+
+  uint64_t first_int(const Entry& e) {
+    auto v = entry_ints(e);
+    return v.empty() ? 0 : v[0];
   }
 
   FILE* f_ = nullptr;
@@ -772,12 +818,15 @@ class Reader {
 extern "C" {
 
 void* gs_open(const char* path) {
-  auto* r = new Reader();
-  if (!r->open(path)) {
-    delete r;
+  // never let an exception (e.g. bad_alloc on a corrupt size field)
+  // cross the C ABI into the ctypes caller
+  try {
+    auto r = std::make_unique<Reader>();
+    if (!r->open(path)) return nullptr;
+    return r.release();
+  } catch (...) {
     return nullptr;
   }
-  return r;
 }
 
 void gs_close(void* handle) { delete static_cast<Reader*>(handle); }
@@ -787,7 +836,12 @@ int gs_level_count(void* handle) {
 }
 
 void gs_level_dimensions(void* handle, int level, int64_t* w, int64_t* h) {
-  const Page& p = static_cast<Reader*>(handle)->page(level);
+  Reader* r = static_cast<Reader*>(handle);
+  if (level < 0 || level >= r->level_count()) {
+    *w = *h = 0;
+    return;
+  }
+  const Page& p = r->page(level);
   *w = p.width;
   *h = p.height;
 }
@@ -821,9 +875,10 @@ double gs_objective_power(void* handle) {
 // convention).  Fills out (h * w * 3) RGB, white background out of bounds.
 // Returns 0 on success.
 int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
-                   int64_t w, int64_t h, uint8_t* out) {
+                   int64_t w, int64_t h, uint8_t* out) try {
   Reader* r = static_cast<Reader*>(handle);
   if (level < 0 || level >= r->level_count()) return -1;
+  if (w <= 0 || h <= 0) return -1;
   const Page& p = r->page(level);
   const Page& base = r->page(0);
   double ds = double(base.width) / p.width;
@@ -852,11 +907,13 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
     grid_th = p.tile_height;
   }
   if (grid_tw > 0) {
+    if (grid_th <= 0) return -1;  // corrupt TileLength: avoid div-by-zero
     int64_t across = nd ? nd->tiles_across : (p.width + grid_tw - 1) / grid_tw;
     for (int64_t ty = iy0 / grid_th; ty <= (iy1 - 1) / grid_th; ty++)
       for (int64_t tx = ix0 / grid_tw; tx <= (ix1 - 1) / grid_tw; tx++)
         jobs.push_back({ty * across + tx, tx, ty});
   } else {
+    if (p.rows_per_strip <= 0) return -1;  // corrupt RowsPerStrip
     for (int64_t s = iy0 / p.rows_per_strip; s <= (iy1 - 1) / p.rows_per_strip;
          s++)
       jobs.push_back({s, 0, s});
@@ -864,7 +921,10 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
 
   std::mutex err_mu;
   bool failed = false;
+  // an exception escaping a std::thread terminates the process, so the
+  // worker converts any throw (e.g. bad_alloc) into a failed read
   auto work = [&](size_t begin, size_t end) {
+    try {
     for (size_t j = begin; j < end; j++) {
       const Job& job = jobs[j];
       int64_t cw, chh;
@@ -884,6 +944,10 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
                     (size_t)(sx1 - sx0) * 3);
       }
     }
+    } catch (...) {
+      std::lock_guard<std::mutex> lock(err_mu);
+      failed = true;
+    }
   };
 
   size_t n_threads = std::min<size_t>(jobs.size(),
@@ -901,6 +965,8 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
     for (auto& t : threads) t.join();
   }
   return failed ? -2 : 0;
+} catch (...) {
+  return -3;  // exception (e.g. bad_alloc) must not cross the C ABI
 }
 
 }  // extern "C"
