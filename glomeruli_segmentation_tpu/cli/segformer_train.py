@@ -10,6 +10,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_labels", type=int, default=5)
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--dl_num_workers", type=int, default=2)
+    parser.add_argument("--prefetch", type=int, default=1,
+                        help="batches staged ahead of the device step; "
+                             "0 = synchronous loading")
     parser.add_argument("--max_epoch", type=int, default=1000)
     parser.add_argument("--fold", type=int, default=1)
     parser.add_argument("--site", type=str,

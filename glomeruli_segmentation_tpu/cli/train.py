@@ -46,6 +46,11 @@ def build_parser() -> ArgumentParser:
                              "optimizer state and BN statistics stay "
                              "float32 (default: full float32, matching "
                              "the reference recipe)")
+    parser.add_argument("--prefetch", type=int, default=1,
+                        help="batches staged ahead of the device step by "
+                             "the loader's producer thread (the torch "
+                             "DataLoader's worker prefetch); 0 = "
+                             "synchronous loading")
     return parser
 
 

@@ -4,11 +4,16 @@ Equivalent of the reference's ``MyDataset`` + torch ``DataLoader`` workers
 (``module/espnet/train/DataSet.py``, ``main.py:331-353``): decodes
 image/label pairs with cv2/PIL, applies the transform pipeline, and yields
 stacked NHWC batches.  Decoding runs in a thread pool (cv2 releases the
-GIL), keeping the accelerator fed.
+GIL), and a bounded producer thread keeps ``prefetch`` batches staged
+ahead of the consumer — the torch loader's worker prefetch, and the same
+one-deep pipeline the fused slide path uses: host decode of batch N+1
+overlaps the device step on batch N.
 """
 from __future__ import annotations
 
 import concurrent.futures
+import queue
+import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import cv2
@@ -40,13 +45,15 @@ class DataLoader:
 
     def __init__(self, dataset: SegmentationDataset, batch_size: int,
                  shuffle: bool = True, num_workers: int = 4,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False,
+                 prefetch: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -55,7 +62,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
         rng = np.random.default_rng((self.seed, self.epoch))
@@ -77,3 +84,61 @@ class DataLoader:
                 images = np.stack([p[0] for p in pairs])
                 labels = np.stack([p[1] for p in pairs])
                 yield images, labels
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return prefetch_iter(self._batches(), self.prefetch)
+
+
+def prefetch_iter(it, depth: int):
+    """Stage up to ``depth`` items from generator ``it`` ahead of the
+    consumer on a bounded producer thread.  Yields the same items in the
+    same order as consuming ``it`` directly (the rng draws happen in
+    generation order inside ``it``); only the staging overlaps the
+    consumer.  ``depth <= 0`` is the synchronous passthrough."""
+    if depth <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    done = object()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in it:
+                if not put(item):
+                    return
+            put(done)
+        except BaseException as e:  # re-raised on the consumer side
+            put(e)
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()  # shut the decode pool down deterministically
+
+    worker = threading.Thread(target=produce, daemon=True)
+    worker.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        worker.join()

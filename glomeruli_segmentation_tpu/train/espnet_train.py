@@ -93,23 +93,30 @@ class EspnetTrainer:
         train_ds = partial(SegmentationDataset, data["trainIm"],
                            data["trainAnnot"])
         bs = args.batch_size
+        prefetch = getattr(args, "prefetch", 1)
         loaders = {
             "scale1": DataLoader(train_ds(pipeline(1536, 768, 100)), bs,
-                                 num_workers=args.num_workers, seed=1),
+                                 num_workers=args.num_workers, seed=1,
+                                 prefetch=prefetch),
             "scale2": DataLoader(train_ds(pipeline(1280, 720, 100)), bs,
-                                 num_workers=args.num_workers, seed=2),
+                                 num_workers=args.num_workers, seed=2,
+                                 prefetch=prefetch),
             "scale4": DataLoader(train_ds(pipeline(512, 256, None)), bs + 4,
-                                 num_workers=args.num_workers, seed=4),
+                                 num_workers=args.num_workers, seed=4,
+                                 prefetch=prefetch),
             "scale3": DataLoader(train_ds(pipeline(768, 384, 32)), bs + 4,
-                                 num_workers=args.num_workers, seed=3),
+                                 num_workers=args.num_workers, seed=3,
+                                 prefetch=prefetch),
             "main": DataLoader(train_ds(pipeline(1024, 512, 32)), bs + 2,
-                               num_workers=args.num_workers, seed=0),
+                               num_workers=args.num_workers, seed=0,
+                               prefetch=prefetch),
         }
         val_tf = T.Compose([T.Normalize(mean, std), T.Scale(1024, 512),
                             T.ToTensor(scale_in)])
         loaders["val"] = DataLoader(
             SegmentationDataset(data["valIm"], data["valAnnot"], val_tf),
-            bs + 4, shuffle=False, num_workers=args.num_workers)
+            bs + 4, shuffle=False, num_workers=args.num_workers,
+            prefetch=prefetch)
         return loaders
 
     def build_model(self):

@@ -41,7 +41,6 @@ import optax
 
 from ..convert.torch_pickle import save_torch_legacy
 from ..data import transforms as T
-from ..data.dataset import DataLoader
 from ..data.segformer_dataset import ResizedGlomerularDataset
 from ..eval.mean_iou import mean_iou
 from ..models.segformer import Segformer, SegformerConfig, upsample_logits
@@ -136,22 +135,24 @@ def build_steps(model, tx, mesh=None):
 
 
 class _PairLoader:
-    """Adapts ResizedGlomerularDataset dicts to (image, label) batches."""
+    """Adapts ResizedGlomerularDataset dicts to (image, label) batches,
+    with the same bounded producer-thread prefetch as data.dataset's
+    DataLoader (host decode of batch N+1 overlaps the device step)."""
 
-    def __init__(self, dataset, batch_size, shuffle, num_workers, seed=0):
-        import concurrent.futures
-
+    def __init__(self, dataset, batch_size, shuffle, num_workers, seed=0,
+                 prefetch: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.seed = seed
+        self.prefetch = prefetch
         self.epoch = 0
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batches(self):
         import concurrent.futures
 
         n = len(self.dataset)
@@ -172,6 +173,11 @@ class _PairLoader:
                 items = list(pool.map(load, zip(chunk, seeds)))
                 yield (np.stack([it["pixel_values"] for it in items]),
                        np.stack([it["labels"] for it in items]))
+
+    def __iter__(self):
+        from ..data.dataset import prefetch_iter
+
+        return prefetch_iter(self._batches(), self.prefetch)
 
 
 def train_segformer(args) -> str:
@@ -278,10 +284,11 @@ def train_segformer(args) -> str:
     mesh = _build_mesh(args)
     train_step, eval_step = build_steps(model, tx, mesh)
 
+    prefetch = getattr(args, "prefetch", 1)
     train_loader = _PairLoader(train_ds, args.batch_size, True,
-                               args.dl_num_workers)
+                               args.dl_num_workers, prefetch=prefetch)
     val_loader = _PairLoader(val_ds, args.batch_size, False,
-                             args.dl_num_workers)
+                             args.dl_num_workers, prefetch=prefetch)
 
     best_iou = -1.0
     best_dir: Optional[str] = None
