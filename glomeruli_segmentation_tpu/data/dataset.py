@@ -40,13 +40,20 @@ class SegmentationDataset:
         return image, label
 
 
-class DataLoader:
-    """Shuffled, threaded batch iterator over a SegmentationDataset."""
+def _default_collate(items) -> Tuple[np.ndarray, np.ndarray]:
+    return (np.stack([it[0] for it in items]),
+            np.stack([it[1] for it in items]))
 
-    def __init__(self, dataset: SegmentationDataset, batch_size: int,
+
+class DataLoader:
+    """Shuffled, threaded batch iterator over any dataset exposing
+    ``__len__`` and ``get(idx, rng)``.  ``collate`` turns the list of
+    per-item results into a batch (default: stack (image, label) pairs)."""
+
+    def __init__(self, dataset, batch_size: int,
                  shuffle: bool = True, num_workers: int = 4,
                  seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 1):
+                 prefetch: int = 1, collate=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,6 +61,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.collate = collate or _default_collate
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -80,10 +88,8 @@ class DataLoader:
                 if self.drop_last and len(chunk) < self.batch_size:
                     break
                 seeds = rng.integers(0, 2**63, size=len(chunk))
-                pairs = list(pool.map(load, zip(chunk, seeds)))
-                images = np.stack([p[0] for p in pairs])
-                labels = np.stack([p[1] for p in pairs])
-                yield images, labels
+                items = list(pool.map(load, zip(chunk, seeds)))
+                yield self.collate(items)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         return prefetch_iter(self._batches(), self.prefetch)
@@ -113,10 +119,16 @@ def prefetch_iter(it, depth: int):
 
     def produce():
         try:
-            for item in it:
+            # check stop before each decode (not only before each put):
+            # an abandoning consumer must not pay for one more batch
+            while not stop.is_set():
+                try:
+                    item = next(it)
+                except StopIteration:
+                    put(done)
+                    return
                 if not put(item):
                     return
-            put(done)
         except BaseException as e:  # re-raised on the consumer side
             put(e)
         finally:

@@ -134,50 +134,21 @@ def build_steps(model, tx, mesh=None):
     return train_step, eval_step
 
 
-class _PairLoader:
-    """Adapts ResizedGlomerularDataset dicts to (image, label) batches,
-    with the same bounded producer-thread prefetch as data.dataset's
-    DataLoader (host decode of batch N+1 overlaps the device step)."""
+def _pair_collate(items):
+    return (np.stack([it["pixel_values"] for it in items]),
+            np.stack([it["labels"] for it in items]))
 
-    def __init__(self, dataset, batch_size, shuffle, num_workers, seed=0,
-                 prefetch: int = 1):
-        self.dataset = dataset
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.num_workers = num_workers
-        self.seed = seed
-        self.prefetch = prefetch
-        self.epoch = 0
 
-    def __len__(self):
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+def _PairLoader(dataset, batch_size, shuffle, num_workers, seed=0,
+                prefetch: int = 1):
+    """Adapts ResizedGlomerularDataset dicts to (image, label) batches:
+    the shared DataLoader (epoch-seeded shuffle, threaded decode, bounded
+    producer-thread prefetch) with a dict collate."""
+    from ..data.dataset import DataLoader
 
-    def _batches(self):
-        import concurrent.futures
-
-        n = len(self.dataset)
-        order = np.arange(n)
-        rng = np.random.default_rng((self.seed, self.epoch))
-        if self.shuffle:
-            rng.shuffle(order)
-        self.epoch += 1
-
-        def load(args):
-            idx, seed = args
-            return self.dataset.get(idx, np.random.default_rng(seed))
-
-        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-            for start in range(0, n, self.batch_size):
-                chunk = order[start: start + self.batch_size]
-                seeds = rng.integers(0, 2**63, size=len(chunk))
-                items = list(pool.map(load, zip(chunk, seeds)))
-                yield (np.stack([it["pixel_values"] for it in items]),
-                       np.stack([it["labels"] for it in items]))
-
-    def __iter__(self):
-        from ..data.dataset import prefetch_iter
-
-        return prefetch_iter(self._batches(), self.prefetch)
+    return DataLoader(dataset, batch_size, shuffle=shuffle,
+                      num_workers=num_workers, seed=seed, prefetch=prefetch,
+                      collate=_pair_collate)
 
 
 def train_segformer(args) -> str:

@@ -240,9 +240,13 @@ class Reader {
       *ch = std::min<int64_t>(p.rows_per_strip, p.height - row0);
     }
     // corrupt tags can yield empty/negative chunk geometry or absurd
-    // pixel counts; fail the read instead of allocating on faith
+    // pixel counts; fail the read instead of allocating on faith.  The
+    // 2^27-px cap (~400 MB decoded) is ~10x the largest real chunk (a
+    // 400k-px-wide NDPI level-0 virtual strip of 32 MCU rows) while
+    // keeping a tiny corrupt file from demanding a multi-GB zero-fill
+    // (overcommitting Linux OOM-kills that instead of throwing).
     if (*cw <= 0 || *ch <= 0 ||
-        (uint64_t)*cw * (uint64_t)*ch > (1ull << 31))
+        (uint64_t)*cw * (uint64_t)*ch > (1ull << 27))
       return nullptr;
     if (nd) {
       {
@@ -317,7 +321,9 @@ class Reader {
     std::vector<uint8_t> merged;
     const uint8_t* src = data.data();
     size_t src_len = data.size();
-    if (p.jpeg_tables.size() > 4) {
+    // a < 2-byte chunk cannot carry the SOI the merge splices after;
+    // skip the merge and let the header parse fail cleanly
+    if (p.jpeg_tables.size() > 4 && data.size() >= 2) {
       merged.reserve(p.jpeg_tables.size() - 2 + data.size() - 2);
       merged.insert(merged.end(), p.jpeg_tables.begin(),
                     p.jpeg_tables.end() - 2);
@@ -722,8 +728,10 @@ class Reader {
       n_entries = rd16(b);
     }
     // classic TIFF caps at 65535 entries by format; a corrupt BigTIFF
-    // count would otherwise size a multi-GB allocation
-    if (n_entries == 0 || n_entries > 65535) return false;
+    // count would otherwise size a multi-GB allocation.  A 0-entry
+    // directory (spec-invalid but emitted by some writers) parses as an
+    // empty page and drops in open()'s keep filter.
+    if (n_entries > 65535) return false;
     std::vector<uint8_t> raw(n_entries * entry_size);
     if (std::fread(raw.data(), 1, raw.size(), f_) != raw.size()) return false;
     uint8_t nb[8];
@@ -878,7 +886,8 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
                    int64_t w, int64_t h, uint8_t* out) try {
   Reader* r = static_cast<Reader*>(handle);
   if (level < 0 || level >= r->level_count()) return -1;
-  if (w <= 0 || h <= 0) return -1;
+  if (w < 0 || h < 0) return -1;
+  if (w == 0 || h == 0) return 0;  // empty region: success, like the py reader
   const Page& p = r->page(level);
   const Page& base = r->page(0);
   double ds = double(base.width) / p.width;
@@ -957,10 +966,17 @@ int gs_read_region(void* handle, int level, int64_t x0_l0, int64_t y0_l0,
   } else {
     std::vector<std::thread> threads;
     size_t per = (jobs.size() + n_threads - 1) / n_threads;
-    for (size_t t = 0; t < n_threads; t++) {
-      size_t begin = t * per;
-      size_t end = std::min(jobs.size(), begin + per);
-      if (begin < end) threads.emplace_back(work, begin, end);
+    try {
+      for (size_t t = 0; t < n_threads; t++) {
+        size_t begin = t * per;
+        size_t end = std::min(jobs.size(), begin + per);
+        if (begin < end) threads.emplace_back(work, begin, end);
+      }
+    } catch (...) {
+      // thread spawn failed (e.g. EAGAIN): join what was started —
+      // destroying a joinable std::thread would std::terminate
+      for (auto& t : threads) t.join();
+      throw;  // -> the function-level catch returns -3
     }
     for (auto& t : threads) t.join();
   }

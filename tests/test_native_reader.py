@@ -60,6 +60,13 @@ def test_native_matches_python(native_slide_cls, slide_path):
     edge = ns.read_region_array((1690, 1090), 0, (32, 32))
     np.testing.assert_array_equal(
         edge, ps.read_region_array((1690, 1090), 0, (32, 32)))
+    # degenerate (zero-size) regions: success with an empty array in BOTH
+    # readers — a w==0 detection crop must not abort only when the
+    # native .so is loaded
+    for size in ((0, 16), (16, 0), (0, 0)):
+        a = ns.read_region_array((100, 100), 0, size)
+        b = ps.read_region_array((100, 100), 0, size)
+        assert a.shape == b.shape == (size[1], size[0], 3)
 
 
 def test_open_slide_prefers_native(native_slide_cls, slide_path):
