@@ -205,6 +205,25 @@ class EspnetSegmenter:
                     postprocess_nearest_host(cmap, im.shape[0], im.shape[1]))
         return results
 
+    def submit_net_res(self, images_bgr: List[np.ndarray]):
+        """Async submit of ONE batch (<= batch_size crops): preprocess +
+        dispatch the forward, returning an opaque handle immediately —
+        JAX dispatch is asynchronous, so the device computes while the
+        host does other work.  Pair with :meth:`read_net_res`."""
+        cfg = self.config
+        n = len(images_bgr)
+        assert 0 < n <= cfg.batch_size
+        chunk = list(images_bgr)
+        if n < cfg.batch_size:  # pad to the compiled batch shape
+            chunk = chunk + [chunk[-1]] * (cfg.batch_size - n)
+        return self._forward(self.preprocess(chunk)), n
+
+    def read_net_res(self, handle) -> np.ndarray:
+        """Materialize a :meth:`submit_net_res` handle as (n, in_h, in_w)
+        uint8 class maps (blocks until the device is done)."""
+        out, n = handle
+        return self._read_maps(out)[:n]
+
     def class_maps_net_res(self, images_bgr: List[np.ndarray]) -> np.ndarray:
         """Class maps at network resolution (in_height, in_width) — used for
         the confusion-matrix evaluation which the reference computes before
@@ -213,11 +232,7 @@ class EspnetSegmenter:
         out = []
         for start in range(0, len(images_bgr), cfg.batch_size):
             chunk = images_bgr[start: start + cfg.batch_size]
-            n = len(chunk)
-            if n < cfg.batch_size:
-                chunk = chunk + [chunk[-1]] * (cfg.batch_size - n)
-            batch = self.preprocess(chunk)
-            out.append(self._read_maps(self._forward(batch))[:n])
+            out.append(self.read_net_res(self.submit_net_res(chunk)))
         return np.concatenate(out, axis=0)
 
 
@@ -315,16 +330,32 @@ def run_segment(args) -> None:
             "sclerosis, mesangium\n")
 
         bs = cfg.batch_size
-        for start in range(0, len(rgb_image_list), bs):
-            batch_names = rgb_image_list[start: start + bs]
-            batch_labels = label_image_list[start: start + bs]
-            images = [cv2.imread(n) for n in batch_names]
-            net_maps = segmenter.class_maps_net_res(images)
+
+        def emit(batch):
+            batch_names, batch_labels, images, handle = batch
+            net_maps = segmenter.read_net_res(handle)
             for img_name, label_name, img_orig, net_map in zip(
                     batch_names, batch_labels, images, net_maps):
                 _emit_crop_outputs(args, segmenter, iou_eval_val, dataset_d,
                                    summary_acc, summary_pixel, img_name,
                                    label_name, img_orig, net_map)
+
+        # one-deep submit/emit pipeline: the forward of batch N+1 is
+        # dispatched (async) before batch N's host-side artifact writes
+        # (contours, base64 JSON, overlay JPEGs), so the device computes
+        # while the host emits — the same pipelining the detection scan
+        # and the fused slide path use
+        pending = None
+        for start in range(0, len(rgb_image_list), bs):
+            batch_names = rgb_image_list[start: start + bs]
+            batch_labels = label_image_list[start: start + bs]
+            images = [cv2.imread(n) for n in batch_names]
+            handle = segmenter.submit_net_res(images)
+            if pending is not None:
+                emit(pending)
+            pending = (batch_names, batch_labels, images, handle)
+        if pending is not None:
+            emit(pending)
 
         if label_image_list and label_image_list[0] is not None:
             for patient, values_d in dataset_d.items():

@@ -69,8 +69,11 @@ def test_segment_artifacts_byte_golden(tmp_path, monkeypatch):
         def __init__(self, config):
             self.config = config
 
-        def class_maps_net_res(self, images):
+        def submit_net_res(self, images):
             return np.stack([map_a, map_b])  # glob order: cropA, cropB
+
+        def read_net_res(self, handle):
+            return handle
 
     monkeypatch.setattr(seg_mod, "EspnetSegmenter", StubSegmenter)
     args = build_parser().parse_args([
