@@ -156,17 +156,8 @@ def run_segformer_test(args) -> None:
         writer = csv.writer(summary_pixel)
         writer.writerow(["specimen_id", "filename"] + GTCS_COLUMNS
                         + ["mIoU"])
-        for start in range(0, data_len, bs):
-            idxs = list(range(start, min(start + bs, data_len)))
-            items = [test_ds.get(i) for i in idxs]
-            batch = np.stack([np.asarray(it["pixel_values"])
-                              for it in items])
-            if len(idxs) < bs:
-                batch = np.concatenate(
-                    [batch, np.repeat(batch[-1:], bs - len(idxs), axis=0)])
-            batch_logits = forward(jax.device_put(batch, data_sharding)
-                                   if data_sharding is not None
-                                   else jax.device_put(batch))
+        def process(pending):
+            idxs, items, batch_logits = pending
             for pos, (idx, item) in enumerate(zip(idxs, items)):
                 image_file = test_ds.images[idx]
                 specimen_id = image_file.split("/")[-2]
@@ -189,6 +180,28 @@ def run_segformer_test(args) -> None:
                                 + [metrics["mean_iou"]])
                 if (idx + 1) % 10 == 0:
                     print(f"{idx + 1}/{data_len}")
+
+        # one-deep submit/process pipeline (same as the staged segment
+        # CLI): batch N+1's forward is dispatched before batch N's host
+        # work (per-crop metrics, triptych writes), overlapping device
+        # compute with host emission
+        pending = None
+        for start in range(0, data_len, bs):
+            idxs = list(range(start, min(start + bs, data_len)))
+            items = [test_ds.get(i) for i in idxs]
+            batch = np.stack([np.asarray(it["pixel_values"])
+                              for it in items])
+            if len(idxs) < bs:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], bs - len(idxs), axis=0)])
+            batch_logits = forward(jax.device_put(batch, data_sharding)
+                                   if data_sharding is not None
+                                   else jax.device_put(batch))
+            if pending is not None:
+                process(pending)
+            pending = (idxs, items, batch_logits)
+        if pending is not None:
+            process(pending)
 
     # 0/0 -> NaN is the mmseg convention for absent classes; the nanmeans
     # below skip them (reference mean_iou semantics)
