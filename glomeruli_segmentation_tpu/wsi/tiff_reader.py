@@ -421,7 +421,10 @@ class _NdpiStripIndex:
         the marker scan, so a file whose tag deviates stays correct."""
         if len(starts) != self.n_chunks or starts[0] != self.entropy_start:
             return False
-        if any(b <= a for a, b in zip(starts, starts[1:])):
+        # entries must be strictly increasing by >= 2: each chunk ends
+        # with a 2-byte RST marker, so a smaller gap is impossible in a
+        # real file and would invert the span arithmetic (end = next - 2)
+        if any(b - a < 2 for a, b in zip(starts, starts[1:])):
             return False
         if starts[-1] >= self._size:
             return False

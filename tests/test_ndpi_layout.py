@@ -254,9 +254,17 @@ def test_mcu_starts_invalid_falls_back_to_scan():
     img, _ = pas_like_image(256, 320, seed=4, n_glomeruli=2)
     strip, starts = encode_ndpi_strip(img, return_mcu_starts=True)
     read = lambda off, size: strip[off: off + size]  # noqa: E731
+    # gap of 1 at an index the RST probe does NOT sample (the probe
+    # checks {1, n//2, n-1}): end = next - 2 < start would invert the
+    # span arithmetic — the gap>=2 validation must reject it instead of
+    # letting it surface as a garbage decode
+    assert len(starts) > 5 and len(starts) // 2 != 2
+    gap1 = list(starts)
+    gap1[2] = gap1[1] + 1
     for bad in ([s + 1 for s in starts],          # first entry mismatch
                 starts[:-1],                      # wrong count
-                [starts[0]] + [s + 1 for s in starts[1:]]):  # probe fails
+                [starts[0]] + [s + 1 for s in starts[1:]],   # probe fails
+                gap1):                            # sub-RST gap
         idx = _NdpiStripIndex(read, 0, len(strip), 320, 256, mcu_starts=bad)
         assert idx.ok and not idx.used_mcu_starts
         good = _NdpiStripIndex(read, 0, len(strip), 320, 256,
