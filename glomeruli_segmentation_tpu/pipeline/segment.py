@@ -195,12 +195,8 @@ class EspnetSegmenter:
         results: List[np.ndarray] = []
         for start in range(0, len(images_bgr), cfg.batch_size):
             chunk = images_bgr[start: start + cfg.batch_size]
-            n = len(chunk)
-            if n < cfg.batch_size:  # pad batch to the compiled size
-                chunk = chunk + [chunk[-1]] * (cfg.batch_size - n)
-            batch = self.preprocess(chunk)
-            maps = self._read_maps(self._forward(batch))[:n]
-            for im, cmap in zip(images_bgr[start: start + cfg.batch_size], maps):
+            maps = self.read_net_res(self.submit_net_res(chunk))
+            for im, cmap in zip(chunk, maps):
                 results.append(
                     postprocess_nearest_host(cmap, im.shape[0], im.shape[1]))
         return results
@@ -212,7 +208,10 @@ class EspnetSegmenter:
         host does other work.  Pair with :meth:`read_net_res`."""
         cfg = self.config
         n = len(images_bgr)
-        assert 0 < n <= cfg.batch_size
+        if not 0 < n <= cfg.batch_size:
+            raise ValueError(
+                f"submit_net_res takes 1..batch_size ({cfg.batch_size}) "
+                f"crops per call, got {n}")
         chunk = list(images_bgr)
         if n < cfg.batch_size:  # pad to the compiled batch shape
             chunk = chunk + [chunk[-1]] * (cfg.batch_size - n)

@@ -522,9 +522,13 @@ class Reader {
     if ((int64_t)starts.size() != idx->n_chunks) return false;
     if (starts[0] != entropy_start) return false;
     // strictly increasing by >= 2 (each chunk ends with a 2-byte RST
-    // marker); a smaller gap would invert the span arithmetic below
+    // marker); a smaller gap would invert the span arithmetic below.
+    // Two conditions, not `< prev + 2`: prev + 2 can wrap uint64 on a
+    // crafted tag and accept a non-monotonic sequence.
     for (size_t i = 1; i < starts.size(); i++)
-      if (starts[i] < starts[i - 1] + 2) return false;
+      if (starts[i] <= starts[i - 1] ||
+          starts[i] - starts[i - 1] < 2)
+        return false;
     if (starts.back() >= size) return false;
     size_t probes[3] = {1, starts.size() / 2, starts.size() - 1};
     for (size_t j : probes) {

@@ -322,6 +322,7 @@ def write_ndpi_like_tiff(
     zero_sof_dims: bool = False,
     mcu_starts: bool = False,
     offset_pad: int = 0,
+    mcu_starts_transform=None,
 ) -> None:
     """Write a classic TIFF in the real Hamamatsu NDPI layout: each level
     is ONE JPEG strip (RowsPerStrip = ImageLength) with restart markers
@@ -402,6 +403,11 @@ def write_ndpi_like_tiff(
             b.add(296, _TYPE_SHORT, [3])
             b.add(65421, _TYPE_FLOAT, [objective_power])
             if mcu_starts:
+                # mcu_starts_transform corrupts the tag for reader
+                # fallback tests (e.g. a sub-RST gap); the entropy
+                # stream itself stays valid
+                if mcu_starts_transform is not None:
+                    starts = mcu_starts_transform(list(starts))
                 b.add(65426, _TYPE_LONG, starts)
 
             entries = sorted(b.entries)

@@ -219,6 +219,40 @@ def test_mcu_starts_tag_bit_identical(tmp_path, native_slide_cls):
         ref.read_region_array((123, 77), 0, (300, 200)))
 
 
+def test_mcu_starts_gap1_falls_back_in_both_readers(tmp_path,
+                                                    native_slide_cls):
+    """A McuStarts tag with a sub-RST gap (entries 2 bytes apart are the
+    minimum a real file can produce) at an index the RST probe does not
+    sample must be rejected at validation in BOTH readers — falling back
+    to the marker scan, not surfacing as a garbage decode or a failed
+    read."""
+    img, _ = pas_like_image(530, 700, seed=3, n_glomeruli=4)
+    bad = str(tmp_path / "gap1.ndpi.tiff")
+    plain = str(tmp_path / "plain.ndpi.tiff")
+    write_ndpi_like_tiff(plain, img, levels=1)
+
+    def plant_gap1(starts):
+        assert len(starts) > 5 and len(starts) // 2 != 2
+        starts[2] = starts[1] + 1
+        return starts
+
+    write_ndpi_like_tiff(bad, img, levels=1, mcu_starts=True,
+                         mcu_starts_transform=plant_gap1)
+
+    s = Slide(bad)
+    assert s._ndpi_index(0).used_mcu_starts is False  # rejected -> scan
+    ref = Slide(plain)
+    np.testing.assert_array_equal(
+        s.read_region_array((123, 77), 0, (300, 200)),
+        ref.read_region_array((123, 77), 0, (300, 200)))
+
+    ns = native_slide_cls(bad)
+    assert ns.ndpi_index_mode(0) == 1  # rejected -> marker scan
+    np.testing.assert_array_equal(
+        ns.read_region_array((123, 77), 0, (300, 200)),
+        ref.read_region_array((123, 77), 0, (300, 200)))
+
+
 def test_mcu_starts_skips_entropy_scan():
     """With the tag, index construction reads only the JPEG headers plus
     a few 2-byte marker probes — NOT the whole entropy stream (which is
