@@ -107,10 +107,16 @@ def _parse_tensor(buf: bytes) -> np.ndarray:
                 typed_values.extend(vals)
             else:
                 typed_values.append(payload)
+    count = int(np.prod(shape)) if shape else 1
+    # a corrupt shape claim can demand a multi-TB allocation; np.zeros
+    # is calloc'd lazy pages on Linux, so that "succeeds" and surfaces
+    # later as an OOM kill instead of a clean parse error
+    if count < 0 or count > (1 << 31):
+        raise ValueError(f"implausible tensor element count {count} "
+                         f"(shape {shape}) in frozen graph")
     dtype = _TF_DTYPES.get(dtype_code)
     if dtype is None:
         return np.zeros(shape or 0, np.float32)
-    count = int(np.prod(shape)) if shape else 1
     if content:
         arr = np.frombuffer(content, dtype=dtype, count=count)
     elif typed_values:
