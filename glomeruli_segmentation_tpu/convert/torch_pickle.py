@@ -39,6 +39,21 @@ _STORAGE_DTYPES = {
 }
 
 
+# Non-torch globals legitimately found in checkpoint pickles (numpy
+# scalars/arrays inside optimizer state or stats dicts).  Everything else
+# is rejected — see _Unpickler.find_class.
+_SAFE_GLOBALS = frozenset([
+    ("collections", "OrderedDict"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("_codecs", "encode"),
+])
+
+
 class _StorageType:
     """Stand-in for ``torch.FloatStorage`` etc. encountered in the pickle."""
 
@@ -115,7 +130,16 @@ class _Unpickler(pickle.Unpickler):
         if module.startswith("torch"):
             # Any other torch object (device, dtype markers, ...) -> opaque stub.
             return _OpaqueStub(module, name)
-        return super().find_class(module, name)
+        if (module, name) in _SAFE_GLOBALS:
+            import importlib
+
+            return getattr(importlib.import_module(module), name)
+        # checkpoints are untrusted downloads: never fall through to the
+        # default unpickler, which imports (and can execute) anything —
+        # the torch `weights_only=True` stance
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name}: only tensor/container "
+            "types are allowed in checkpoint files")
 
     def persistent_load(self, saved_id):
         typename = saved_id[0]
@@ -159,25 +183,29 @@ def _materialize(obj: Any) -> Any:
 
 
 def _load_legacy(f: BinaryIO) -> Any:
-    magic = pickle.load(f)
+    storages: Dict[str, _Storage] = {}
+    # EVERY pickle section goes through the restricted unpickler — the
+    # magic/protocol/sysinfo prelude is attacker-controlled bytes too
+    load = lambda: _Unpickler(f, storages).load()  # noqa: E731
+    magic = load()
     if magic != _LEGACY_MAGIC:
         raise ValueError("not a legacy torch checkpoint (bad magic)")
-    _protocol_version = pickle.load(f)
-    _sys_info = pickle.load(f)
+    _protocol_version = load()
+    _sys_info = load()
 
-    storages: Dict[str, _Storage] = {}
-    unpickler = _Unpickler(f, storages)
-    result = unpickler.load()
+    result = load()
 
     # Trailing section: the list of storage keys in write order, then for each
     # key an int64 element count followed by the raw little-endian data.
-    key_order = pickle.load(f)
+    key_order = load()
     for key in key_order:
         if isinstance(key, bytes):
             key = key.decode("ascii")
         key = str(key)
         storage = storages[key]
         (numel,) = struct.unpack("<q", f.read(8))
+        if numel < 0 or numel > (1 << 31):
+            raise ValueError(f"implausible storage element count {numel}")
         raw = f.read(numel * storage.dtype.itemsize)
         storage.data = np.frombuffer(raw, dtype=storage.dtype).copy()
     return _materialize(result)
