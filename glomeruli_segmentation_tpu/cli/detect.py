@@ -82,7 +82,10 @@ def load_backend(model_dir: str, model_name: str = None, batch_size: int = 8,
         native_ok = od_ok = pb_ok = True
         model_name = "frozen_inference_graph.pb"
 
-    native_ckpt = os.path.join(model_dir, "detector.ckpt.pth")
+    # an explicit name loads exactly the file named — including when it
+    # lives in a subdirectory of model_dir (dispatch is by basename only)
+    native_ckpt = (requested if explicit
+                   else os.path.join(model_dir, "detector.ckpt.pth"))
     if native_ok and os.path.isfile(native_ckpt):
         import jax.numpy as jnp
         import jax
@@ -99,7 +102,8 @@ def load_backend(model_dir: str, model_name: str = None, batch_size: int = 8,
         return JaxDetectorBackend(variables, config, batch_size,
                                   data_parallel=data_parallel)
 
-    od_ckpt = os.path.join(model_dir, "od_api_detector.ckpt.pth")
+    od_ckpt = (requested if explicit
+               else os.path.join(model_dir, "od_api_detector.ckpt.pth"))
     if od_ok and os.path.isfile(od_ckpt):
         # natively fine-tuned OD-API weights (train/od_api_finetune.py);
         # architecture constants saved at training time are defaults, CLI

@@ -94,9 +94,12 @@ def main(argv=None):
                 ens.segment_batch_gather(padded, hs, hs, ys, xs)
                 did.append(f"ensemble@{bucket}")
             if args.transfer in ("both", "flat"):
-                # one program per quantized flat buffer length (see
-                # ops.preprocess.pack_crops_flat: quantum = padded/8)
-                quantum = max(1, bs * bucket * bucket * 3 // 8)
+                # one program per quantized flat buffer length — the
+                # quantum MUST be pack_crops_flat's own, or warmup compiles
+                # lengths production never uses
+                from ..ops.preprocess import flat_quantum
+
+                quantum = flat_quantum(bs, bucket, bucket)
                 offs = np.zeros(bs, np.int32)
                 ones = np.ones(bs, np.int32)
                 for k in args.flat_eighths:

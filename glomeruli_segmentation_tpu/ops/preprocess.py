@@ -126,6 +126,32 @@ def unflatten_crops(flat: jax.Array, offsets: jax.Array, heights: jax.Array,
     return jax.vmap(one)(offsets, heights, widths)
 
 
+# Device-side crop offsets are int32 (x64 is disabled under jit): a flat
+# buffer may address at most 2^31-1 bytes.  Callers staging bigger batches
+# must use the padded layout (FusedSlideSegmenter falls back per batch).
+FLAT_OFFSET_LIMIT = 2**31 - 1
+
+
+def flat_bytes_needed(crops, max_w: int = 0) -> int:
+    """Bytes a flat transfer of ``crops`` addresses (content + row slack)."""
+    pos = sum(c.shape[0] * c.shape[1] * 3 for c in crops)
+    slack = max(max(int(c.shape[1]) for c in crops), max_w) * 3
+    return pos + slack
+
+
+def flat_quantum(batch_size: int, max_h: int, max_w: int,
+                 bucket_bytes: int = 1 << 21) -> int:
+    """Flat-buffer length quantum: one eighth of the padded batch bytes.
+
+    The single source of truth for :func:`pack_crops_flat`'s buffer
+    quantization AND for ``gseg-warmup``'s pre-compile of the same buffer
+    lengths — every distinct length is a distinct (remote-AOT, minutes)
+    compiled program, so the two must never disagree."""
+    if max_h and max_w:
+        return max(1, batch_size * max_h * max_w * 3 // 8)
+    return bucket_bytes
+
+
 def pack_crops_flat(crops, batch_size: int, max_w: int = 0, max_h: int = 0,
                     bucket_bytes: int = 1 << 21):
     """Pack ragged HWC uint8 crops into one flat transfer buffer.
@@ -157,10 +183,13 @@ def pack_crops_flat(crops, batch_size: int, max_w: int = 0, max_h: int = 0,
         heights[i], widths[i] = c.shape[:2]
         pos += c.shape[0] * c.shape[1] * 3
     slack = max(int(widths.max()), max_w) * 3
-    quantum = bucket_bytes
-    if max_h and max_w:
-        quantum = max(1, batch_size * max_h * max_w * 3 // 8)
+    if pos + slack > FLAT_OFFSET_LIMIT:
+        raise ValueError(
+            f"flat crop buffer needs {pos + slack} bytes, over the int32 "
+            "device-offset limit; stage this batch in the padded layout")
+    quantum = flat_quantum(batch_size, max_h, max_w, bucket_bytes)
     total = -(-(pos + slack) // quantum) * quantum
+    total = min(total, FLAT_OFFSET_LIMIT)  # quantum rounding stays in range
     flat = np.zeros(total, np.uint8)
     for i, c in enumerate(crops[:n]):
         flat[offsets[i]: offsets[i] + c.size] = c.reshape(-1)

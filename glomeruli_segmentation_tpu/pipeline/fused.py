@@ -26,7 +26,9 @@ import numpy as np
 
 from ..convert.espnet_import import load_espnet_variables
 from ..models.espnet import ESPNet
-from ..ops.preprocess import resize_bilinear_dynamic, unflatten_crops
+from ..ops.preprocess import (FLAT_OFFSET_LIMIT, flat_bytes_needed,
+                              pack_crops_flat, resize_bilinear_dynamic,
+                              unflatten_crops)
 
 # fold -> (BGR mean, BGR std), reference README.md:243-249
 FOLD_NORMALIZATION = {
@@ -526,18 +528,20 @@ class FusedSlideSegmenter:
                     padded[i] = cv2.resize(
                         c.astype(np.float32), (net_w, net_h),
                         interpolation=cv2.INTER_LINEAR).astype(dtype)
-            elif self.transfer == "flat":
-                from ..ops.preprocess import pack_crops_flat
-
+            elif (self.transfer == "flat"
+                  and flat_bytes_needed(crops, max_w) <= FLAT_OFFSET_LIMIT):
                 flat, offs, hs, ws = pack_crops_flat(crops, bs,
                                                      max_w=max_w,
                                                      max_h=max_h)
                 padded = (flat, offs, max_h, max_w)
             else:
+                # padded layout: the transfer default under a mesh, and the
+                # per-batch fallback when a flat buffer would exceed the
+                # int32 device-offset range (> 2 GiB of crop bytes)
                 padded = np.zeros((bs, max_h, max_w, 3), np.uint8)
                 for i, c in enumerate(crops):
                     padded[i, : c.shape[0], : c.shape[1]] = c
-            if self.transfer != "flat":
+            if not isinstance(padded, tuple):
                 hs = np.zeros(bs, np.int32)
                 ws = np.zeros(bs, np.int32)
                 for i, c in enumerate(crops):
@@ -577,7 +581,7 @@ class FusedSlideSegmenter:
                         padded, ys, xs)
                 else:
                     out = self.ensemble.submit_batch_resized(padded)
-            elif self.transfer == "flat":
+            elif isinstance(padded, tuple):  # flat layout (per batch)
                 flat, offs, max_h, max_w = padded
                 if ds8:
                     out = self.ensemble.submit_batch_gather_flat(

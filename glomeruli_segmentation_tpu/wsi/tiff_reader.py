@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import io
 import math
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -262,6 +263,13 @@ def _parse_page(f, endian: str, entries: Dict[int, tuple],
     else:
         page.offsets = [int(v) for v in get(TAG_STRIP_OFFSETS, [])]
         page.byte_counts = [int(v) for v in get(TAG_STRIP_BYTE_COUNTS, [])]
+    if len(page.byte_counts) != len(page.offsets):
+        # corrupt IFD: offsets without matching byte counts would surface
+        # later as a bare IndexError mid-read; fail at parse like the C++
+        # reader
+        raise TiffParseError(
+            f"strip/tile offsets ({len(page.offsets)}) and byte counts "
+            f"({len(page.byte_counts)}) disagree")
     if fix is not None:  # strip/tile positions are file offsets too
         page.offsets = [fix(v) for v in page.offsets]
     jt = get(TAG_JPEG_TABLES)
@@ -329,7 +337,15 @@ class _NdpiStripIndex:
         try:
             self._parse_headers()
             self._build_grid()
-            if mcu_starts and self._spans_from_mcu_starts(mcu_starts):
+            use_tag = False
+            if mcu_starts:
+                try:
+                    use_tag = self._spans_from_mcu_starts(mcu_starts)
+                except Exception:
+                    # a deviant tag must never cost the whole index —
+                    # the scan fallback is the documented contract
+                    use_tag = False
+            if use_tag:
                 self.used_mcu_starts = True
             else:
                 self._scan_markers()
@@ -429,7 +445,7 @@ class _NdpiStripIndex:
         if starts[-1] >= self._size:
             return False
         for j in {1, len(starts) // 2, len(starts) - 1}:
-            if j <= 0:
+            if j <= 0 or j >= len(starts):  # single-chunk level: no probes
                 continue
             mk = self._read(self._base + starts[j] - 2, 2)
             if len(mk) != 2 or mk[0] != 0xFF or not 0xD0 <= mk[1] <= 0xD7:
@@ -596,8 +612,13 @@ class Slide:
             return self._ndpi_indices[level]
         page = self._pages[level]
         idx = None
+        # byte_counts guards mirror the C++ reader: a corrupt IFD may carry
+        # STRIP_OFFSETS without (or with an implausible) STRIP_BYTE_COUNTS
         if (not page.tiled and page.compression == 7
                 and len(page.offsets) == 1
+                and len(page.byte_counts) == 1
+                and 0 < page.byte_counts[0]
+                <= os.fstat(self._f.fileno()).st_size
                 and page.rows_per_strip >= page.height
                 and not page.jpeg_tables):
 

@@ -243,6 +243,49 @@ def test_flat_transfer_matches_padded(ensemble, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_flat_transfer_int32_overflow_falls_back_padded(
+        ensemble, tmp_path, monkeypatch):
+    """A batch whose crop bytes would exceed the int32 device-offset range
+    must ship in the padded layout (int32 flat offsets would wrap and
+    silently rebuild garbage crops).  Forced here by shrinking the limit;
+    outputs must stay byte-identical on both stitch paths."""
+    from glomeruli_segmentation_tpu.pipeline import fused as fused_mod
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    img, _ = pas_like_image(1024, 1536, seed=33, n_glomeruli=3)
+    path = str(tmp_path / "s.tiff")
+    write_pyramidal_tiff(path, img, mpp=0.25, levels=3)
+    slide = Slide(path)
+    detections = [[256, 256, 640, 640, 0.9], [640, 384, 1021, 763, 0.9],
+                  [100, 700, 450, 1000, 0.9]]
+    flat = FusedSlideSegmenter(ensemble, transfer="flat")
+    want = flat.segment_slide(slide, detections)
+    maps_want = []
+    flat.segment_slide(slide, detections,
+                       on_crop=lambda box, m: maps_want.append(m))
+
+    calls = []
+    orig = fused_mod.pack_crops_flat
+    monkeypatch.setattr(fused_mod, "pack_crops_flat",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    monkeypatch.setattr(fused_mod, "FLAT_OFFSET_LIMIT", 1024)
+    np.testing.assert_array_equal(
+        flat.segment_slide(slide, detections), want)
+    maps_got = []
+    flat.segment_slide(slide, detections,
+                       on_crop=lambda box, m: maps_got.append(m))
+    for a, b in zip(maps_got, maps_want):
+        np.testing.assert_array_equal(a, b)
+    assert not calls, "fallback batch must not be packed flat"
+
+    # the packer itself refuses an over-limit buffer outright
+    import glomeruli_segmentation_tpu.ops.preprocess as prep
+    monkeypatch.setattr(prep, "FLAT_OFFSET_LIMIT", 1024)
+    with pytest.raises(ValueError, match="int32"):
+        prep.pack_crops_flat(
+            [np.zeros((64, 64, 3), np.uint8)], 1, max_w=64, max_h=64)
+
+
 def test_host_resize_matches_device_resize(ensemble, tmp_path):
     """host_resize=True (cv2 pre-resize on host, compute-dtype transfer)
     must reproduce the on-device dynamic-resize path: same half-pixel

@@ -253,6 +253,36 @@ def test_mcu_starts_gap1_falls_back_in_both_readers(tmp_path,
         ref.read_region_array((123, 77), 0, (300, 200)))
 
 
+def test_mcu_starts_single_chunk_level(tmp_path, native_slide_cls):
+    """A level whose MCUs all fit one restart interval (n_chunks == 1 —
+    real at the deepest pyramid levels) carries a one-entry McuStarts
+    tag.  The RST probe set {1, n//2, n-1} must skip out-of-range
+    indices rather than raise — a raise would also skip the scan
+    fallback and silently lose the level's virtual-tile index."""
+    img, _ = pas_like_image(64, 96, seed=7, n_glomeruli=1)
+    tagged = str(tmp_path / "one.ndpi.tiff")
+    plain = str(tmp_path / "plain.ndpi.tiff")
+    # 64 rows = 8 MCU rows; rows_per_chunk=8 -> single chunk
+    write_ndpi_like_tiff(tagged, img, levels=1, rows_per_chunk=8,
+                         mcu_starts=True)
+    write_ndpi_like_tiff(plain, img, levels=1, rows_per_chunk=8)
+
+    s = Slide(tagged)
+    idx = s._ndpi_index(0)
+    assert idx.ok and idx.used_mcu_starts is True
+    assert idx.n_chunks == 1
+    ref = Slide(plain)
+    np.testing.assert_array_equal(
+        s.read_region_array((8, 8), 0, (80, 48)),
+        ref.read_region_array((8, 8), 0, (80, 48)))
+
+    ns = native_slide_cls(tagged)
+    assert ns.ndpi_index_mode(0) == 2  # indexed from the tag
+    np.testing.assert_array_equal(
+        ns.read_region_array((8, 8), 0, (80, 48)),
+        ref.read_region_array((8, 8), 0, (80, 48)))
+
+
 def test_mcu_starts_skips_entropy_scan():
     """With the tag, index construction reads only the JPEG headers plus
     a few 2-byte marker probes — NOT the whole entropy stream (which is

@@ -414,3 +414,18 @@ def test_explicit_model_name_beats_checkpoint_discovery(tmp_path):
 
     with pytest.raises(SystemExit, match="not found"):
         load_backend(str(model_dir), "missing.pb", 2)
+
+    # an explicit name with a subdirectory component loads THAT file,
+    # not a same-basename sibling at the top of model_dir
+    runs = model_dir / "runs"
+    runs.mkdir()
+    sub_consts, _, _ = build_od_api_consts(seed=10, num_classes=3)
+    sub_params, sub_classes = assemble_od_api_params(sub_consts)
+    save_torch_legacy({
+        "od_api_params": jax.tree.map(np.asarray, sub_params),
+        "num_classes": sub_classes,
+        "od_config": dataclasses.asdict(
+            ODAPIConfig(num_classes=sub_classes)),
+    }, str(runs / OD_API_CKPT_NAME))
+    nested = load_backend(str(model_dir), f"runs/{OD_API_CKPT_NAME}", 2)
+    assert nested.num_classes == 3  # the nested checkpoint, not top-level
