@@ -1,0 +1,103 @@
+"""CLI: resident slide-serving daemon over the fused e2e pipeline.
+
+``gseg-e2e`` pays model load + compile-cache deserialization per
+invocation; ``gseg-serve`` pays it once and then processes slides as
+job tickets arrive in a spool directory (see
+``pipeline/serve.py`` for the ticket contract).  Artifacts per slide
+are identical to ``gseg-e2e``'s.
+
+Submit work::
+
+    echo '{"slide_path": "/data/PAS-001.ndpi", "patient_id": "PAS-001"}' \
+        > spool/job1.json
+
+Stop the server::
+
+    touch spool/STOP
+"""
+import argparse
+import os
+
+from .e2e import build_parser as build_e2e_parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # reuse the e2e flag surface (model/ensemble/transfer knobs), minus
+    # the batch-run inputs that the spool replaces
+    base = build_e2e_parser()
+    parser = argparse.ArgumentParser(
+        description="resident detect+merge+segment+stitch server",
+        parents=[], add_help=True)
+    drop = {"--target_list", "--data_dir", "--resume"}
+    for action in base._actions:  # noqa: SLF001 — argparse has no public
+        # API for selectively inheriting options from another parser
+        if not action.option_strings or "-h" in action.option_strings:
+            continue
+        if drop & set(action.option_strings):
+            continue
+        parser._add_action(action)  # noqa: SLF001
+    parser.add_argument("--spool_dir", type=str, required=True,
+                        help="job-ticket directory (watched)")
+    parser.add_argument("--poll_interval", type=float, default=2.0)
+    parser.add_argument("--max_slides", type=int, default=None,
+                        help="exit after N tickets (bounded runs/tests)")
+    parser.add_argument("--stop_file", type=str, default=None,
+                        help="exit when this file exists "
+                             "(default <spool_dir>/STOP)")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    # --target_list/--data_dir are e2e-only; the spool supplies the work
+    args.target_list = args.data_dir = None
+
+    from ..pipeline.e2e import FusedEndToEnd
+    from ..pipeline.fused import EnsembleConfig, EnsembleSegmenter
+    from ..pipeline.serve import SlideServer
+    from .detect import load_backend
+
+    backend = load_backend(
+        args.model, args.model_name, args.batch_size,
+        od_api_overrides={"min_dimension": args.min_dimension,
+                          "max_dimension": args.max_dimension,
+                          "max_proposals": args.max_proposals,
+                          "device_resize": args.device_resize,
+                          "compat_tf1_resize": not args.cv2_resize},
+        data_parallel=args.data_parallel)
+
+    ckpts = [os.path.join(args.segmentation_weights_dir,
+                          f"espnet_fold{k}.pth") for k in args.folds]
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(None if args.data_parallel < 0
+                         else args.data_parallel)
+    ensemble = EnsembleSegmenter(
+        EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
+                       batch_size=args.seg_batch_size,
+                       precision=args.precision,
+                       pack_output=args.pack_output),
+        mesh=mesh, engine=args.engine)
+
+    pipe = FusedEndToEnd(
+        backend, ensemble, data_category=args.data_category,
+        window_size=args.window_size, overlap_ratio=args.overlap_ratio,
+        detect_conf=args.conf_threshold, merge_conf=args.merge_conf_threshold,
+        merge_overlap=args.merge_overlap_threshold,
+        host_resize=args.host_resize, transfer=args.transfer)
+
+    json_dir = (None if args.no_json
+                else args.json_dir or os.path.join(args.output_dir, "json"))
+    server = SlideServer(pipe, args.spool_dir, args.output_dir,
+                         json_dir=json_dir,
+                         write_overlay=not args.no_overlay,
+                         poll_interval=args.poll_interval,
+                         stop_file=args.stop_file)
+    n = server.serve(max_slides=args.max_slides)
+    print(f"served {n} ticket(s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Resident slide-serving loop: one process, compiled programs stay live.
+
+The reference pipeline is batch scripts chained by hand
+(``example/README.md:27-133``): every invocation pays process start +
+model load + — on this backend — minutes of compile-cache
+deserialization for the big ensemble programs before the first window
+runs.  For production serving the framework keeps ONE resident process
+whose jitted programs stay warm, and feeds it work through a spool
+directory of job tickets — the reference's files-as-API convention
+(SURVEY.md §1) lifted from the stage level to the job level.
+
+Ticket contract: ``<name>.json`` dropped into the spool dir::
+
+    {"slide_path": "/abs/path/PAS-001.ndpi", "patient_id": "PAS-001"}
+
+Tickets are processed in (mtime, name) order.  A ticket is *claimed* by
+moving it to ``spool/active/`` (so a crash leaves the in-flight job
+visible; stale claims are recovered back into the spool on startup),
+then moved to ``spool/done/`` on success or ``spool/failed/`` (with an
+``"error"`` field added) on failure — a failing slide never takes the
+server down.  Per slide the artifacts are exactly ``gseg-e2e``'s: the
+accumulated merged-detection CSV, per-crop labelme JSONs, the stitched
+``{patient}_pred.jpg`` and the timing log
+(merge_overlaped_glomus.py:102-124, VisualizeResults_iou.py:161-182,
+eval_wsi_segmentation.py:359-394, detect_glomus_test.py:110-112).
+A JSONL status stream (``serve_log.jsonl`` in the output dir) records
+one row per ticket for monitoring.
+
+Shutdown: touch the stop file (default ``<spool>/STOP``); the server
+finishes the slide in flight and exits.
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+import traceback
+from typing import List, Optional
+
+from .e2e import FusedEndToEnd
+
+
+class SlideServer:
+    """Watch a spool directory and run each ticket through a resident
+    :class:`~glomeruli_segmentation_tpu.pipeline.e2e.FusedEndToEnd`."""
+
+    def __init__(self, pipe: FusedEndToEnd, spool_dir: str, output_dir: str,
+                 json_dir: Optional[str] = None, write_overlay: bool = True,
+                 poll_interval: float = 2.0,
+                 stop_file: Optional[str] = None):
+        self.pipe = pipe
+        self.spool_dir = spool_dir
+        self.output_dir = output_dir
+        self.json_dir = json_dir
+        self.write_overlay = write_overlay
+        self.poll_interval = poll_interval
+        self.stop_file = stop_file or os.path.join(spool_dir, "STOP")
+        self.active_dir = os.path.join(spool_dir, "active")
+        self.done_dir = os.path.join(spool_dir, "done")
+        self.failed_dir = os.path.join(spool_dir, "failed")
+        for d in (spool_dir, self.active_dir, self.done_dir,
+                  self.failed_dir, output_dir):
+            os.makedirs(d, exist_ok=True)
+        self.log_path = os.path.join(output_dir, "serve_log.jsonl")
+        # accumulate across restarts: resume semantics give us the set of
+        # slides whose artifacts are already complete (SURVEY.md §5.3)
+        self.completed = FusedEndToEnd.prepare_output(
+            output_dir, pipe.data_category, resume=True)
+        self._recover_stale_claims()
+
+    # -- spool mechanics ------------------------------------------------
+
+    def _recover_stale_claims(self) -> None:
+        """Move tickets a crashed run left in active/ back into the spool."""
+        for name in sorted(os.listdir(self.active_dir)):
+            if name.endswith(".json"):
+                os.replace(os.path.join(self.active_dir, name),
+                           os.path.join(self.spool_dir, name))
+
+    def scan(self) -> List[str]:
+        """Pending ticket paths in (mtime, name) order."""
+        entries = []
+        for entry in os.scandir(self.spool_dir):
+            if entry.is_file() and entry.name.endswith(".json"):
+                entries.append((entry.stat().st_mtime, entry.name))
+        return [os.path.join(self.spool_dir, name)
+                for _, name in sorted(entries)]
+
+    def _log(self, row: dict) -> None:
+        row["ts"] = datetime.datetime.today().strftime("%Y-%m-%dT%H:%M:%S")
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+
+    # -- ticket processing ----------------------------------------------
+
+    def process_ticket(self, path: str) -> dict:
+        """Claim and run one ticket; never raises."""
+        name = os.path.basename(path)
+        claimed = os.path.join(self.active_dir, name)
+        os.replace(path, claimed)
+        t0 = time.time()
+        row = {"ticket": name}
+        try:
+            with open(claimed) as f:
+                ticket = json.load(f)
+            slide_path = ticket["slide_path"]
+            patient_id = ticket.get(
+                "patient_id",
+                os.path.splitext(os.path.basename(slide_path))[0])
+            row.update(patient_id=patient_id, slide_path=slide_path)
+            if patient_id in self.completed:
+                # artifacts already complete (timing-log row present);
+                # re-running would duplicate the slide's merged-CSV rows
+                row["status"] = "skipped_already_done"
+                os.replace(claimed, os.path.join(self.done_dir, name))
+                return row
+            self.pipe.run_slide(slide_path, self.output_dir, patient_id,
+                                json_dir=self.json_dir,
+                                write_overlay=self.write_overlay)
+            self.completed.add(patient_id)
+            row.update(status="done", sec=round(time.time() - t0, 3))
+            os.replace(claimed, os.path.join(self.done_dir, name))
+        except Exception as exc:  # noqa: BLE001 — a bad slide must not
+            # take the resident server (and its warm programs) down
+            row.update(status="failed", sec=round(time.time() - t0, 3),
+                       error=f"{type(exc).__name__}: {exc}")
+            traceback.print_exc()
+            try:
+                with open(claimed) as f:
+                    ticket = json.load(f)
+            except Exception:
+                ticket = {}
+            ticket["error"] = row["error"]
+            failed = os.path.join(self.failed_dir, name)
+            with open(failed, "w") as f:
+                json.dump(ticket, f, indent=2)
+            if os.path.isfile(claimed):
+                os.remove(claimed)
+        return row
+
+    # -- main loop -------------------------------------------------------
+
+    def serve(self, max_slides: Optional[int] = None) -> int:
+        """Process tickets until the stop file appears (or ``max_slides``
+        tickets have been handled).  Returns the number processed."""
+        processed = 0
+        while True:
+            if os.path.exists(self.stop_file):
+                print("stop file present; exiting")
+                return processed
+            pending = self.scan()
+            if not pending:
+                if max_slides is not None and processed >= max_slides:
+                    return processed
+                time.sleep(self.poll_interval)
+                continue
+            for path in pending:
+                row = self.process_ticket(path)
+                self._log(row)
+                print(f"[{row.get('status')}] {row.get('patient_id', '?')}"
+                      + (f" ({row['sec']}s)" if "sec" in row else ""))
+                processed += 1
+                if ((max_slides is not None and processed >= max_slides)
+                        or os.path.exists(self.stop_file)):
+                    return processed
