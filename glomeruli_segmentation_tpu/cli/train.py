@@ -51,6 +51,16 @@ def build_parser() -> ArgumentParser:
                              "the loader's producer thread (the torch "
                              "DataLoader's worker prefetch); 0 = "
                              "synchronous loading")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: coordinator address host:port "
+                             "(or GSEG_COORDINATOR); combine with "
+                             "--data_parallel -1 to span the global mesh")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total process count "
+                             "(or GSEG_NUM_PROCESSES)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="multi-host: this process's rank "
+                             "(or GSEG_PROCESS_ID)")
     return parser
 
 

@@ -70,6 +70,19 @@ class IouEval:
         predict = self._to_numpy(predict)
         gt = self._to_numpy(gt)
         hist = fast_hist(gt, predict, self.n_classes)
+        return self.add_hist(hist)
+
+    def add_hist(self, hist) -> np.ndarray:
+        """Accumulate a precomputed KxK batch histogram.
+
+        Semantically identical to :meth:`add_batch` given the same batch
+        (both the summed histogram and the per-batch metric running means
+        derive from the batch hist alone); used when the histogram is
+        computed on device inside the training step (:func:`confusion_matrix`)
+        so only KxK ints cross device->host instead of the full argmax map —
+        and, under a multi-process mesh, so no process needs the other
+        processes' prediction shards."""
+        hist = np.asarray(hist).astype(np.int64)
         self.hist += hist
 
         overall_acc, per_class_acc, per_class_iou, miou = _metrics_from_hist(hist)
@@ -113,14 +126,24 @@ class IouEval:
 iouEval = IouEval
 
 
-def confusion_matrix(pred, gt, n_classes: int):
+def confusion_matrix(pred, gt, n_classes: int, sample_valid=None):
     """Device-side KxK confusion matrix (jittable).
 
     ``pred``/``gt`` are integer arrays of any (matching) shape.  Out-of-range
-    gt pixels are dropped, matching :func:`fast_hist`.
+    gt pixels are dropped, matching :func:`fast_hist`.  ``sample_valid``
+    (bool, the leading batch axis) additionally drops whole samples — the
+    rows :meth:`EspnetTrainer._pad_batch` appends to keep per-device shards
+    even.
     """
     import jax.numpy as jnp
 
+    # int32 up front: narrow label dtypes (uint8 palettes) would overflow
+    # in n_classes * gt under jnp's dtype promotion
+    pred = pred.astype(jnp.int32)
+    gt = gt.astype(jnp.int32)
+    if sample_valid is not None:
+        shape = (-1,) + (1,) * (gt.ndim - 1)
+        gt = jnp.where(sample_valid.reshape(shape), gt, n_classes)
     pred = pred.reshape(-1)
     gt = gt.reshape(-1)
     valid = (gt >= 0) & (gt < n_classes)

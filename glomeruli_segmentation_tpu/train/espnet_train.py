@@ -43,7 +43,7 @@ from ..convert.torch_pickle import load_torch_pickle, save_torch_legacy
 from ..data import transforms as T
 from ..data.dataset import DataLoader, SegmentationDataset
 from ..data.load_data import LoadData
-from ..eval.iou_eval import IouEval
+from ..eval.iou_eval import IouEval, confusion_matrix
 from ..models.espnet import ESPNet, ESPNetEncoder
 from .criteria import cross_entropy_2d
 
@@ -57,6 +57,14 @@ class EspnetTrainer:
         self.args = args
         self.class_weights = None
         self._step_cache: Dict = {}
+        # multi-process (multi-host/DCN) runtime, before any device query
+        # locks in the local-only backend; no-op unless configured via
+        # --coordinator/--num_processes/--process_id or GSEG_* env
+        from ..parallel.distributed import init_distributed
+
+        init_distributed(getattr(args, "coordinator", None),
+                         getattr(args, "num_processes", None),
+                         getattr(args, "process_id", None))
         self.mesh = None
         n_dev = int(getattr(args, "data_parallel", 0) or 0)
         if n_dev:
@@ -67,14 +75,23 @@ class EspnetTrainer:
     # ---------------- setup ----------------
     def load_data(self):
         args = self.args
+        from ..parallel.distributed import barrier, is_primary
+
         if not os.path.isfile(args.cached_data_file):
-            data = LoadData(args.data_dir, args.classes,
-                            args.cached_data_file).process_data()
-            if data is None:
-                raise SystemExit("Error while pickling data. Please check.")
-        else:
-            with open(args.cached_data_file, "rb") as f:
-                data = pickle.load(f)
+            # multi-process: only process 0 scans the dataset and writes
+            # the stats cache (shared filesystem); everyone else reads it
+            # after the barrier
+            if is_primary():
+                data = LoadData(args.data_dir, args.classes,
+                                args.cached_data_file).process_data()
+                if data is None:
+                    raise SystemExit(
+                        "Error while pickling data. Please check.")
+                barrier("gseg_data_cache")
+                return data
+            barrier("gseg_data_cache")
+        with open(args.cached_data_file, "rb") as f:
+            data = pickle.load(f)
         return data
 
     def build_loaders(self, data):
@@ -173,12 +190,15 @@ class EspnetTrainer:
         """Explicit batch staging: jax.device_put rides the fast transfer
         channel on the axon tunnel (the implicit numpy->jit path can be
         ~40x slower once a large program has executed, CLAUDE.md); with a
-        mesh the batch is placed pre-sharded over 'data'."""
+        mesh the batch is placed pre-sharded over 'data' (multi-process:
+        each process materializes only the shards its devices own)."""
         if self.mesh is None:
             return jax.device_put(arr)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+        from ..parallel.distributed import put_global
+
+        return put_global(NamedSharding(self.mesh, P("data")), arr)
 
     @staticmethod
     def _donate(training: bool):
@@ -201,10 +221,10 @@ class EspnetTrainer:
             return jax.jit(step,
                            in_shardings=(repl, repl, repl, data, data,
                                          data),
-                           out_shardings=(repl, repl, repl, repl, data),
+                           out_shardings=(repl, repl, repl, repl, repl),
                            donate_argnums=self._donate(training))
         return jax.jit(step, in_shardings=(repl, repl, data, data, data),
-                       out_shardings=(repl, data))
+                       out_shardings=(repl, repl))
 
     def _get_step(self, model, tx, shape, training: bool):
         key = (shape, training)
@@ -229,18 +249,32 @@ class EspnetTrainer:
                     loss_fn, has_aux=True)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
+                # the metric confusion histogram accumulates in-jit: only
+                # KxK ints cross device->host per step (the argmax map is
+                # batch x 512 x 1024), and under a mesh the reduction is a
+                # GSPMD psum — no process ever needs another's shard
                 pred = jnp.argmax(logits, axis=-1)
-                return params, new_stats, opt_state, loss, pred
+                hist = confusion_matrix(pred, y, logits.shape[-1],
+                                        sample_valid=valid)
+                return params, new_stats, opt_state, loss, hist
         else:
             def step(params, batch_stats, x, y, valid):
                 logits = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x)
                 logits = logits.astype(jnp.float32)
                 loss = cross_entropy_2d(logits, y, weights, valid)
-                return loss, jnp.argmax(logits, axis=-1)
+                hist = confusion_matrix(jnp.argmax(logits, axis=-1), y,
+                                        logits.shape[-1], sample_valid=valid)
+                return loss, hist
 
         if self.mesh is not None:
             step = self._shard(step, training)
+            # multi-process: compile ahead-of-time and meet at a barrier
+            # before the first collective executes (no-op single-process)
+            from ..parallel.distributed import compile_aligned
+
+            step = compile_aligned(
+                step, f"train={training}:shape={shape}")
         else:
             step = jax.jit(step, donate_argnums=self._donate(training))
         self._step_cache[key] = step
@@ -257,12 +291,12 @@ class EspnetTrainer:
             valid = np.arange(x.shape[0]) < n_real
             step = self._get_step(model, tx, x.shape, True)
             (state["params"], state["batch_stats"], state["opt_state"],
-             loss, pred) = step(state["params"], state["batch_stats"],
+             loss, hist) = step(state["params"], state["batch_stats"],
                                 state["opt_state"], self._put(x),
                                 self._put(y), self._put(valid))
             loss = float(loss)
             losses.append(loss)
-            iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
+            iou_eval.add_hist(hist)
             print("[%d/%d] loss: %.3f time:%.2f" % (i, total, loss,
                                                     time.time() - t0))
         overall_acc, per_class_acc, per_class_iou, miou = iou_eval.get_metric()
@@ -277,11 +311,11 @@ class EspnetTrainer:
             x, y, n_real = self._pad_batch(np.asarray(x), np.asarray(y))
             valid = np.arange(x.shape[0]) < n_real
             step = self._get_step(model, tx, x.shape, False)
-            loss, pred = step(state["params"], state["batch_stats"],
+            loss, hist = step(state["params"], state["batch_stats"],
                               self._put(x), self._put(y),
                               self._put(valid))
             losses.append(float(loss))
-            iou_eval.add_batch(np.asarray(pred)[:n_real], y[:n_real])
+            iou_eval.add_hist(hist)
         overall_acc, per_class_acc, per_class_iou, miou = iou_eval.get_metric()
         return (sum(losses) / max(len(losses), 1), overall_acc,
                 per_class_acc, per_class_iou, miou)
@@ -289,6 +323,9 @@ class EspnetTrainer:
     # ---------------- driver ----------------
     def run(self):
         args = self.args
+        from ..parallel.distributed import host_replicated, is_primary
+
+        primary = is_primary()
         data = self.load_data()
         model = self.build_model()
         os.makedirs(args.savedir, exist_ok=True)
@@ -297,9 +334,10 @@ class EspnetTrainer:
         print("Data statistics")
         print(data["mean"], data["std"])
         print(data["classWeights"])
-        with open(os.path.join(args.savedir, "mean_std.txt"), "w") as f:
-            f.write("mean[B G R]: {}\n".format(data["mean"]))
-            f.write("std[B G R]: {}".format(data["std"]))
+        if primary:
+            with open(os.path.join(args.savedir, "mean_std.txt"), "w") as f:
+                f.write("mean[B G R]: {}\n".format(data["mean"]))
+                f.write("std[B G R]: {}".format(data["std"]))
 
         loaders = self.build_loaders(data)
 
@@ -319,7 +357,7 @@ class EspnetTrainer:
 
         total_params = net_params(variables["params"])
         print("Total network parameters: " + str(total_params))
-        if getattr(args, "visualizeNet", False):
+        if primary and getattr(args, "visualizeNet", False):
             # graph rendering equivalent (reference: VisualizeGraph.make_dot,
             # main.py:236-244): structured per-module summary
             from ..utils.summary import model_summary
@@ -333,6 +371,12 @@ class EspnetTrainer:
             "batch_stats": variables["batch_stats"],
             "opt_state": tx.init(variables["params"]),
         }
+        if jax.process_count() > 1:
+            # multi-process jit rejects single-device committed arrays as
+            # replicated inputs; numpy leaves replicate onto the global
+            # mesh at the first step (identical on every process: same
+            # seed, same init)
+            state = host_replicated(state)
 
         start_epoch = 0
         native_dir = os.path.abspath(os.path.join(args.savedir, "native_ckpt"))
@@ -366,7 +410,8 @@ class EspnetTrainer:
 
         log_path = os.path.join(args.savedir, args.logFile)
         new_log = not os.path.isfile(log_path)
-        logger = open(log_path, "a" if not new_log else "w")
+        logger = open(log_path, "a" if not new_log else "w") if primary \
+            else open(os.devnull, "w")
         if new_log:
             logger.write("Parameters: %s" % (str(total_params)))
             logger.write("\n%s\t%s\t%s\t%s\t%s\t%s\t" % (
@@ -376,7 +421,11 @@ class EspnetTrainer:
 
         for epoch in range(start_epoch, args.max_epochs):
             lr = self._lr_schedule(epoch)
-            state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(lr)
+            # numpy, not jnp: a fresh single-device array inside the
+            # otherwise-global opt_state tree is rejected by multi-process
+            # jit; a host scalar replicates cleanly in every mode
+            state["opt_state"].hyperparams["learning_rate"] = np.asarray(
+                lr, np.float32)
             print("Learning rate: " + str(lr))
 
             for name in ("scale1", "scale2", "scale4", "scale3"):
@@ -390,6 +439,37 @@ class EspnetTrainer:
             (loss_val, overall_acc_val, per_class_acc_val, per_class_iou_val,
              miou_val) = self.val_epoch(model, tx, state, loaders["val"])
 
+            # native full-state checkpoint (orbax) for exact resume.
+            # COLLECTIVE: every process must participate — orbax's
+            # checkpointer runs sync_global_processes internally, so
+            # gating it on `primary` deadlocks rank 0 against ranks that
+            # skipped the call (observed: gloo DEADLINE_EXCEEDED on a
+            # cross-process pair communicator).  Orbax itself writes the
+            # replicated (numpy) tree from the primary host only.
+            import orbax.checkpoint as ocp
+            import shutil
+
+            from ..parallel.distributed import barrier
+
+            tmp_dir = native_dir + ".tmp"
+            if primary and os.path.isdir(tmp_dir):
+                shutil.rmtree(tmp_dir)
+            barrier(f"gseg_ckpt_pre_{epoch}")  # tmp cleared before saving
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(tmp_dir,
+                           {"state": jax.tree.map(np.asarray, state),
+                            "epoch": epoch + 1})
+            if primary:
+                if os.path.isdir(native_dir):
+                    shutil.rmtree(native_dir)
+                os.rename(tmp_dir, native_dir)
+            barrier(f"gseg_ckpt_done_{epoch}")  # visible before anyone resumes
+
+            if not primary:
+                # torch-format checkpoints/logs are process-0 artifacts;
+                # replicated state is identical on every process by
+                # construction
+                continue
             state_dict = variables_to_state_dict({
                 "params": jax.tree.map(np.asarray, state["params"]),
                 "batch_stats": jax.tree.map(np.asarray,
@@ -408,21 +488,6 @@ class EspnetTrainer:
             save_torch_legacy(
                 state_dict,
                 os.path.join(args.savedir, f"model_{epoch + 1}.pth"))
-
-            # native full-state checkpoint (orbax) for exact resume
-            import orbax.checkpoint as ocp
-            import shutil
-
-            tmp_dir = native_dir + ".tmp"
-            if os.path.isdir(tmp_dir):
-                shutil.rmtree(tmp_dir)
-            with ocp.StandardCheckpointer() as ckptr:
-                ckptr.save(tmp_dir,
-                           {"state": jax.tree.map(np.asarray, state),
-                            "epoch": epoch + 1})
-            if os.path.isdir(native_dir):
-                shutil.rmtree(native_dir)
-            os.rename(tmp_dir, native_dir)
 
             with open(os.path.join(args.savedir, f"acc_{epoch}.txt"),
                       "w") as log:
