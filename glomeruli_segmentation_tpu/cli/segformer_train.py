@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard batches over an N-device mesh "
                              "(-1 = all devices; 0 = single device)")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: coordinator address host:port "
+                             "(or GSEG_COORDINATOR); combine with "
+                             "--data_parallel -1 to span the global mesh")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total process count "
+                             "(or GSEG_NUM_PROCESSES)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="multi-host: this process's rank "
+                             "(or GSEG_PROCESS_ID)")
     return parser
 
 

@@ -84,12 +84,16 @@ def _pad_batch(x, y, mesh):
 
 def _put(arr, mesh):
     """Explicit staging (fast transfer channel on the axon tunnel,
-    CLAUDE.md); with a mesh the batch lands pre-sharded over 'data'."""
+    CLAUDE.md); with a mesh the batch lands pre-sharded over 'data'
+    (multi-process: each process materializes only the shards its
+    devices own)."""
     if mesh is None:
         return jax.device_put(arr)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return jax.device_put(arr, NamedSharding(mesh, P("data")))
+    from ..parallel.distributed import put_global
+
+    return put_global(NamedSharding(mesh, P("data")), arr)
 
 
 def build_steps(model, tx, mesh=None):
@@ -126,12 +130,20 @@ def build_steps(model, tx, mesh=None):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    # multi-process: eval logits must be fully addressable on every
+    # process (metrics are computed host-side from the whole batch), so
+    # replicate them — the all_gather is noise next to the forward.
+    # Single-process keeps the sharded output (no gather at all).
+    eval_out = repl if jax.process_count() > 1 else data
     train_step = jax.jit(train_step,
                          in_shardings=(repl, repl, repl, data, data),
                          out_shardings=(repl, repl, repl, repl))
     eval_step = jax.jit(eval_step, in_shardings=(repl, repl, data),
-                        out_shardings=data)
-    return train_step, eval_step
+                        out_shardings=eval_out)
+    from ..parallel.distributed import compile_aligned
+
+    return (compile_aligned(train_step, "segformer_train"),
+            compile_aligned(eval_step, "segformer_eval"))
 
 
 def _pair_collate(items):
@@ -153,11 +165,25 @@ def _PairLoader(dataset, batch_size, shuffle, num_workers, seed=0,
 
 def train_segformer(args) -> str:
     """Run fine-tuning; returns the output directory."""
+    # multi-process (multi-host) runtime, before any device query locks
+    # in the local-only backend; no-op unless configured (espnet_train
+    # has the full rationale)
+    from ..parallel.distributed import (
+        host_replicated,
+        init_distributed,
+        is_primary,
+    )
+
+    init_distributed(getattr(args, "coordinator", None),
+                     getattr(args, "num_processes", None),
+                     getattr(args, "process_id", None))
+    primary = is_primary()
     out_dir = os.path.join(args.model_root, args.site,
                            f"{args.output_dir}/fold{args.fold}")
     os.makedirs(out_dir, exist_ok=True)
     log_path = os.path.join(out_dir, "log.txt")
-    log_f = open(log_path, "a")
+    # checkpoints/logs are process-0 artifacts (shared filesystem)
+    log_f = open(log_path, "a") if primary else open(os.devnull, "w")
 
     data_source = os.path.join(args.data_root, args.site, args.data_date)
     train_tf = T.Compose([
@@ -251,6 +277,13 @@ def train_segformer(args) -> str:
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     opt_state = tx.init(params)
+    if jax.process_count() > 1:
+        # multi-process jit rejects single-device committed arrays as
+        # replicated inputs; numpy leaves replicate onto the global mesh
+        # (identical on every process: same seed / same checkpoint)
+        params = host_replicated(params)
+        batch_stats = host_replicated(batch_stats)
+        opt_state = host_replicated(opt_state)
 
     mesh = _build_mesh(args)
     train_step, eval_step = build_steps(model, tx, mesh)
@@ -291,6 +324,11 @@ def train_segformer(args) -> str:
             log_f.write(json.dumps(
                 {"eval_mean_iou": eval_iou, "epoch": epoch + 1}) + "\n")
             log_f.flush()
+            if not primary:
+                # torch-format checkpoints (no internal collectives) and
+                # the best/newest pruning are process-0 artifacts;
+                # replicated state is identical everywhere
+                continue
             ckpt_dir = os.path.join(out_dir, f"checkpoint-{step}")
             os.makedirs(ckpt_dir, exist_ok=True)
             save_torch_legacy(

@@ -52,9 +52,12 @@ def _env(n_devices: int) -> dict:
     return env
 
 
-def _worker_cmd(data_dir, savedir, cache, rank=None, port=None):
-    cmd = [sys.executable, WORKER, "--data_dir", str(data_dir),
-           "--savedir", str(savedir), "--cached_data_file", str(cache)]
+def _worker_cmd(data_dir, savedir, cache=None, rank=None, port=None,
+                trainer="espnet"):
+    cmd = [sys.executable, WORKER, "--trainer", trainer,
+           "--data_dir", str(data_dir), "--savedir", str(savedir)]
+    if cache is not None:
+        cmd += ["--cached_data_file", str(cache)]
     if rank is not None:
         cmd += ["--coordinator", f"127.0.0.1:{port}",
                 "--num_processes", "2", "--process_id", str(rank)]
@@ -153,3 +156,68 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert log_single.splitlines()[0] == log_multi.splitlines()[0]
     # numeric fields agree to the logged precision
     assert log_single == log_multi
+
+
+@pytest.mark.slow
+def test_two_process_segformer_matches_single_process(tmp_path):
+    """Same harness for the SegFormer (GTCS) trainer: two coordinated
+    processes over the global 4-device mesh reproduce the single-process
+    run (weights to all-reduce noise, metrics to logged precision)."""
+    import json
+
+    from test_segformer_pipeline import _gtcs_tree
+
+    _gtcs_tree(tmp_path, n_specimens=5, crops_per=1, size=96)
+
+    single = subprocess.run(
+        _worker_cmd(tmp_path, tmp_path / "m_single", trainer="segformer"),
+        env=_env(4), capture_output=True, text=True, timeout=1200)
+    assert single.returncode == 0, single.stdout + single.stderr
+
+    port = _free_port()
+    shared_save = tmp_path / "m_multi"
+    procs = [subprocess.Popen(
+        _worker_cmd(tmp_path, shared_save, rank=r, port=port,
+                    trainer="segformer"),
+        env=_env(2), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for r in range(2)]
+    outs = [(p.communicate(timeout=1200), p.returncode) for p in procs]
+    assert all(rc == 0 for _, rc in outs), outs
+    for r, ((out, _), _) in enumerate(outs):
+        assert f"WORKER-DONE process {r} of 2 devices 4" in out, out
+
+    def load(root):
+        ckpts = sorted(glob.glob(
+            str(root / "01_Todai" / "exp" / "fold1" / "checkpoint-*"
+                / "flax_model.pth")))
+        assert ckpts, root
+        return load_torch_pickle(ckpts[-1])
+
+    ref, got = load(tmp_path / "m_single"), load(shared_save)
+    ref_p, got_p = ref["params"], got["params"]
+
+    def flatten(tree, prefix=""):
+        if not isinstance(tree, dict):
+            return {prefix: tree}
+        out = {}
+        for k, v in tree.items():
+            out.update(flatten(v, f"{prefix}/{k}"))
+        return out
+
+    fr, fg = flatten(ref_p), flatten(got_p)
+    assert set(fr) == set(fg)
+    for k in fr:
+        np.testing.assert_allclose(
+            np.asarray(fr[k]), np.asarray(fg[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"{k} diverged between single- and two-process runs")
+
+    def log_entries(root):
+        txt = (root / "01_Todai" / "exp" / "fold1" / "log.txt").read_text()
+        return [json.loads(line) for line in txt.splitlines() if line]
+
+    es, em = log_entries(tmp_path / "m_single"), log_entries(shared_save)
+    assert len(es) == len(em)
+    for a, b in zip(es, em):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-3, atol=1e-5)
