@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stop_file", type=str, default=None,
                         help="exit when this file exists "
                              "(default <spool_dir>/STOP)")
+    parser.add_argument("--server_id", type=str, default=None,
+                        help="claim namespace for shared-spool "
+                             "multi-server scale-out (default: hostname; "
+                             "set when running several servers per host)")
     return parser
 
 
@@ -94,7 +98,8 @@ def main(argv=None):
                          json_dir=json_dir,
                          write_overlay=not args.no_overlay,
                          poll_interval=args.poll_interval,
-                         stop_file=args.stop_file)
+                         stop_file=args.stop_file,
+                         server_id=args.server_id)
     n = server.serve(max_slides=args.max_slides)
     print(f"served {n} ticket(s)")
 

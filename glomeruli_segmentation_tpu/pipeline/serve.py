@@ -28,6 +28,15 @@ one row per ticket for monitoring.
 
 Shutdown: touch the stop file (default ``<spool>/STOP``); the server
 finishes the slide in flight and exits.
+
+Multi-server: several servers (e.g. one per TPU host) may share one
+spool for scale-out.  Claims are namespaced ``<server_id>__<name>``
+(default id: hostname) so a restarting server recovers only *its own*
+stale claims, never a peer's in-flight ticket; the claim rename is
+atomic, and losing the race to a peer just skips the ticket.  Point
+each server at its own ``--output_dir`` (the merged CSV / timing log
+are per-run artifact streams); the spool's done/failed lifecycle is the
+cross-server dedupe.
 """
 from __future__ import annotations
 
@@ -48,7 +57,17 @@ class SlideServer:
     def __init__(self, pipe: FusedEndToEnd, spool_dir: str, output_dir: str,
                  json_dir: Optional[str] = None, write_overlay: bool = True,
                  poll_interval: float = 2.0,
-                 stop_file: Optional[str] = None):
+                 stop_file: Optional[str] = None,
+                 server_id: Optional[str] = None):
+        import socket
+
+        # stable per-server-slot identity: a restart recovers its own
+        # stale claims, never a live peer's (one server per host by
+        # default; pass server_id to run several on one host)
+        self.server_id = server_id or socket.gethostname()
+        if "__" in self.server_id:
+            raise ValueError("server_id must not contain '__' "
+                             "(claim-name separator)")
         self.pipe = pipe
         self.spool_dir = spool_dir
         self.output_dir = output_dir
@@ -72,11 +91,26 @@ class SlideServer:
     # -- spool mechanics ------------------------------------------------
 
     def _recover_stale_claims(self) -> None:
-        """Move tickets a crashed run left in active/ back into the spool."""
+        """Move tickets a crashed run left in active/ back into the spool.
+
+        Only claims bearing THIS server's id are recovered: in a shared
+        spool, a peer's ``active/`` entries are its live in-flight work,
+        and stealing them back would run the slide twice.  Legacy
+        un-namespaced claims (pre-multi-server format) are also
+        recovered — only a dead run can have left those.
+        """
+        prefix = self.server_id + "__"
         for name in sorted(os.listdir(self.active_dir)):
-            if name.endswith(".json"):
-                os.replace(os.path.join(self.active_dir, name),
-                           os.path.join(self.spool_dir, name))
+            if not name.endswith(".json"):
+                continue
+            if name.startswith(prefix):
+                original = name[len(prefix):]
+            elif "__" not in name:
+                original = name
+            else:
+                continue  # a peer's claim
+            os.replace(os.path.join(self.active_dir, name),
+                       os.path.join(self.spool_dir, original))
 
     def scan(self) -> List[str]:
         """Pending ticket paths in (mtime, name) order."""
@@ -95,11 +129,20 @@ class SlideServer:
 
     # -- ticket processing ----------------------------------------------
 
-    def process_ticket(self, path: str) -> dict:
-        """Claim and run one ticket; never raises."""
+    def process_ticket(self, path: str) -> Optional[dict]:
+        """Claim and run one ticket; never raises.
+
+        Returns None when a peer server claims the ticket first (the
+        atomic rename fails with the source gone) — not an error, just
+        someone else's work now.
+        """
         name = os.path.basename(path)
-        claimed = os.path.join(self.active_dir, name)
-        os.replace(path, claimed)
+        claimed = os.path.join(self.active_dir,
+                               f"{self.server_id}__{name}")
+        try:
+            os.replace(path, claimed)
+        except FileNotFoundError:
+            return None  # a peer won the claim race
         t0 = time.time()
         row = {"ticket": name}
         try:
@@ -158,6 +201,8 @@ class SlideServer:
                 continue
             for path in pending:
                 row = self.process_ticket(path)
+                if row is None:
+                    continue  # a peer server claimed it first
                 self._log(row)
                 print(f"[{row.get('status')}] {row.get('patient_id', '?')}"
                       + (f" ({row['sec']}s)" if "sec" in row else ""))

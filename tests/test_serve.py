@@ -137,6 +137,52 @@ def test_serve_stop_file_and_claim_recovery(tmp_path, reference_models_dir):
     assert server2.scan() == [str(spool / "stale.json")]
 
 
+class _StubPipe:
+    """Spool-mechanics-only stand-in (no model, no slide IO)."""
+    data_category = "OPT_PAS"
+
+    def run_slide(self, slide_path, output_dir, patient_id, json_dir=None,
+                  write_overlay=True):
+        return None
+
+
+def test_serve_multi_server_shared_spool(tmp_path):
+    """Two servers on one spool: claims are namespaced per server, a
+    restart recovers only its own stale claims, and losing the claim
+    race is a silent skip — the multi-host scale-out contract."""
+    spool = tmp_path / "spool"
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    os.makedirs(spool)
+    a = SlideServer(_StubPipe(), str(spool), str(out_a), server_id="hostA")
+    b = SlideServer(_StubPipe(), str(spool), str(out_b), server_id="hostB")
+
+    _drop_ticket(str(spool), "t1.json", "/nonexistent.tif", "P1")
+    path = os.path.join(str(spool), "t1.json")
+    # A claims (simulated mid-flight: claimed but not yet processed)
+    os.replace(path, os.path.join(a.active_dir, "hostA__t1.json"))
+    # B loses the race on the now-gone spool path: skip, not an error
+    assert b.process_ticket(path) is None
+
+    # B restarting must NOT steal A's in-flight claim
+    b2 = SlideServer(_StubPipe(), str(spool), str(out_b), server_id="hostB")
+    assert os.path.isfile(os.path.join(a.active_dir, "hostA__t1.json"))
+    assert b2.scan() == []
+
+    # A restarting DOES recover its own stale claim, un-namespaced
+    a2 = SlideServer(_StubPipe(), str(spool), str(out_a), server_id="hostA")
+    assert a2.scan() == [path]
+
+    # the processed ticket lands in done/ under its original name
+    row = a2.process_ticket(path)
+    assert row["status"] == "done"
+    assert os.path.isfile(spool / "done" / "t1.json")
+    assert not os.listdir(spool / "active")
+
+    # the separator is reserved
+    with pytest.raises(ValueError):
+        SlideServer(_StubPipe(), str(spool), str(out_a), server_id="x__y")
+
+
 def test_serve_cli_parser_surface():
     from glomeruli_segmentation_tpu.cli.serve import build_parser
 
