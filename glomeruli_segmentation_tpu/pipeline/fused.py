@@ -617,8 +617,15 @@ class FusedSlideSegmenter:
                 else:
                     small = postprocess_nearest_host(net_map, ch, cw)
                 y0, x0 = y1 // 8, x1 // 8
-                ch = min(ch, canvas.shape[0] - y0)
-                cw = min(cw, canvas.shape[1] - x0)
+                # the detect scan's ceil grid pads windows past the slide
+                # edge (detect_glomus_test.py:286-304 semantics), so merged
+                # boxes can overhang — or sit entirely beyond — the canvas;
+                # paste only the intersection (an origin past the edge must
+                # not turn the clamp negative: (0,W) dst vs (h,W) src)
+                ch = max(0, min(ch, canvas.shape[0] - y0))
+                cw = max(0, min(cw, canvas.shape[1] - x0))
+                if ch == 0 or cw == 0:
+                    continue
                 region = canvas[y0: y0 + ch, x0: x0 + cw]
                 np.maximum(region, small[:ch, :cw], out=region)
             start += n

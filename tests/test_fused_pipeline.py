@@ -106,6 +106,39 @@ def test_segment_slide_ds8_matches_full_path(ensemble, tmp_path):
     np.testing.assert_array_equal(ds8, full)
 
 
+def test_segment_slide_boxes_overhanging_canvas(ensemble, tmp_path):
+    """The detect scan's ceil grid pads windows past the slide edge
+    (detect_glomus_test.py:286-304), so merged boxes can overhang — or on
+    a padded bottom window sit entirely beyond — the /8 canvas.  The
+    stitch must paste only the intersection (regression: an origin past
+    the edge made the clamp negative and numpy raised on the empty/
+    non-empty maximum), on both the ds8-gather and full-res paths."""
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    img, _ = pas_like_image(1024, 1536, seed=23, n_glomeruli=2)
+    path = str(tmp_path / "s.tiff")
+    write_pyramidal_tiff(path, img, mpp=0.25, levels=3)
+    slide = Slide(path)
+    detections = [
+        [256, 256, 640, 640, 0.9],      # in bounds
+        [640, 840, 1020, 1180, 0.9],    # overhangs the bottom (H=1024)
+        [1200, 128, 1700, 520, 0.9],    # overhangs the right (W=1536)
+        [384, 1100, 960, 1420, 0.9],    # entirely below the slide
+    ]
+    fused = FusedSlideSegmenter(ensemble)
+    ds8 = fused.segment_slide(slide, detections)
+    assert ds8.shape == (1024 // 8, 1536 // 8)
+    full = fused.segment_slide(slide, detections,
+                               on_crop=lambda box, m: None)
+    np.testing.assert_array_equal(ds8, full)
+    # in-bounds-only rerun: the overhanging boxes' in-canvas parts may add
+    # pixels, but nothing outside all boxes' intersections may be touched
+    mask = np.zeros_like(ds8, bool)
+    for x1, y1, x2, y2, _ in detections:
+        mask[y1 // 8: min(y2, 1024) // 8, x1 // 8: min(x2, 1536) // 8] = True
+    assert (ds8[~mask] == 0).all()
+
+
 def test_segment_slide_ds8_matches_full_path_packed(reference_models_dir,
                                                     tmp_path):
     """Packed engine: the /8 gather commutes through the classifier
