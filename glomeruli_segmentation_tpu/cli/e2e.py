@@ -21,9 +21,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--staining", dest="data_category", type=str,
                         default="OPT_PAS")
     parser.add_argument("--output_dir", type=str, default="./output")
-    parser.add_argument("--segmentation_weights_dir", type=str, required=True,
-                        help="directory holding espnet_fold{1..5}.pth")
+    parser.add_argument("--segmentation_weights_dir", type=str, default=None,
+                        help="directory holding espnet_fold{1..5}.pth "
+                             "(required unless --segformer_checkpoint)")
     parser.add_argument("--folds", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    parser.add_argument("--segformer_checkpoint", type=str, default=None,
+                        help="run the SegFormer/GTCS model family instead "
+                             "of the 5-fold ESPNet ensemble: a "
+                             "flax_model.pth, a checkpoint-N dir, or a "
+                             "training output dir (best checkpoint found "
+                             "via log.txt); per-crop artifacts become the "
+                             "GTCS palette label PNGs and the overlay uses "
+                             "the GTCS palette")
+    parser.add_argument("--num_labels", type=int, default=None,
+                        help="GTCS class count (SegFormer path; default: "
+                             "recorded in the checkpoint)")
+    parser.add_argument("--input_size", type=int, default=512,
+                        help="SegFormer input resolution")
     parser.add_argument("--json_dir", type=str, default=None,
                         help="write per-crop labelme JSONs here "
                              "(default: <output_dir>/json)")
@@ -110,27 +124,51 @@ def main(argv=None):
                           "compat_tf1_resize": not args.cv2_resize},
         data_parallel=args.data_parallel)
 
-    ckpts = [os.path.join(args.segmentation_weights_dir,
-                          f"espnet_fold{k}.pth") for k in args.folds]
     mesh = None
     if args.data_parallel:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(None if args.data_parallel < 0
                          else args.data_parallel)
-    ensemble = EnsembleSegmenter(
-        EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
-                       batch_size=args.seg_batch_size,
-                       precision=args.precision,
-                       pack_output=args.pack_output),
-        mesh=mesh, engine=args.engine)
+    if args.segformer_checkpoint:
+        from ..palette import GTCS_PALETTE
+        from ..pipeline.fused_segformer import (SegformerSlideConfig,
+                                                SegformerSlideSegmenter,
+                                                load_segformer_checkpoint)
 
-    pipe = FusedEndToEnd(
-        backend, ensemble, data_category=args.data_category,
-        window_size=args.window_size, overlap_ratio=args.overlap_ratio,
-        detect_conf=args.conf_threshold, merge_conf=args.merge_conf_threshold,
-        merge_overlap=args.merge_overlap_threshold,
-        host_resize=args.host_resize, transfer=args.transfer)
+        variables, ckpt_labels = load_segformer_checkpoint(
+            args.segformer_checkpoint)
+        segmenter = SegformerSlideSegmenter(
+            variables, SegformerSlideConfig(
+                num_labels=args.num_labels or ckpt_labels,
+                input_size=args.input_size,
+                batch_size=args.seg_batch_size), mesh=mesh)
+        pipe = FusedEndToEnd(
+            backend, data_category=args.data_category,
+            window_size=args.window_size, overlap_ratio=args.overlap_ratio,
+            detect_conf=args.conf_threshold,
+            merge_conf=args.merge_conf_threshold,
+            merge_overlap=args.merge_overlap_threshold,
+            segmenter=segmenter, palette=GTCS_PALETTE, crop_artifact="png")
+    else:
+        if not args.segmentation_weights_dir:
+            raise SystemExit("--segmentation_weights_dir is required "
+                             "unless --segformer_checkpoint is given")
+        ckpts = [os.path.join(args.segmentation_weights_dir,
+                              f"espnet_fold{k}.pth") for k in args.folds]
+        ensemble = EnsembleSegmenter(
+            EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
+                           batch_size=args.seg_batch_size,
+                           precision=args.precision,
+                           pack_output=args.pack_output),
+            mesh=mesh, engine=args.engine)
+        pipe = FusedEndToEnd(
+            backend, ensemble, data_category=args.data_category,
+            window_size=args.window_size, overlap_ratio=args.overlap_ratio,
+            detect_conf=args.conf_threshold,
+            merge_conf=args.merge_conf_threshold,
+            merge_overlap=args.merge_overlap_threshold,
+            host_resize=args.host_resize, transfer=args.transfer)
 
     staining_dir = GlomusHandler.get_staining_type(args.data_category)
     json_dir = (None if args.no_json

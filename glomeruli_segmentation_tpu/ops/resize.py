@@ -62,6 +62,26 @@ def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return left * (1.0 - wx) + right * wx
 
 
+def resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host (numpy) twin of :func:`resize_bilinear` — same half-pixel
+    sampling, same f32 blend expression (rows then columns), so results
+    match the jitted op bit-for-bit on elementwise-IEEE backends.  Used
+    where output shapes vary per call (per-crop logit upsampling in the
+    fused SegFormer slide path) and a shape-specialized device program
+    per crop would be wasteful."""
+    img = np.asarray(img, np.float32)
+    ylo, yhi, wy = _linear_weights(img.shape[0], out_h)
+    xlo, xhi, wx = _linear_weights(img.shape[1], out_w)
+    if img.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+    rows = img[ylo] * (np.float32(1.0) - wy) + img[yhi] * wy
+    return rows[:, xlo] * (np.float32(1.0) - wx) + rows[:, xhi] * wx
+
+
 def _tf1_linear_weights(src_size: int, dst_size: int):
     """TF1 ``resize_bilinear`` (align_corners=False) samples at
     ``src = dst * (src/dst)`` — scale*i, NO half-pixel shift.  This is the

@@ -56,17 +56,32 @@ class FusedEndToEnd:
     """One-command slide -> boxes -> crops -> canvas pipeline."""
 
     def __init__(self, backend: DetectorBackend,
-                 ensemble: EnsembleSegmenter,
+                 ensemble: Optional[EnsembleSegmenter] = None,
                  data_category: str = "OPT_PAS",
                  window_size: int = 2000, overlap_ratio: float = 0.1,
                  detect_conf: float = 0.2, merge_conf: float = 0.9,
                  merge_overlap: float = 0.35, host_resize: bool = False,
-                 transfer: str = "auto"):
+                 transfer: str = "auto", segmenter=None,
+                 palette=None, crop_artifact: str = "labelme"):
+        """Either pass ``ensemble`` (5-fold ESPNet; per-crop artifacts are
+        labelme JSONs) or ``segmenter`` — any object with the
+        ``segment_slide(slide, detections, progress, on_crop)`` surface,
+        e.g. :class:`.fused_segformer.SegformerSlideSegmenter` for the
+        GTCS model family (``crop_artifact="png"`` then emits the palette
+        label PNGs the staged GTCS stitcher consumes,
+        eval_wsi_segmentation_gtcs.py:221-308)."""
         # reference operating points: example/README.md:34-37,48-49
         self.backend = backend
-        self.segmenter = FusedSlideSegmenter(ensemble,
-                                             host_resize=host_resize,
-                                             transfer=transfer)
+        if segmenter is not None:
+            assert ensemble is None, "pass ensemble OR segmenter, not both"
+            self.segmenter = segmenter
+        else:
+            self.segmenter = FusedSlideSegmenter(ensemble,
+                                                 host_resize=host_resize,
+                                                 transfer=transfer)
+        self.palette = ESPNET_PALETTE if palette is None else palette
+        assert crop_artifact in ("labelme", "png")
+        self.crop_artifact = crop_artifact
         self.data_category = data_category
         self.window_size = window_size
         self.overlap_ratio = overlap_ratio
@@ -185,18 +200,33 @@ class FusedEndToEnd:
                 crop_dir = os.path.join(json_dir, patient_id)
                 os.makedirs(crop_dir, exist_ok=True)
 
-                def on_crop(box, class_map):
+                def crop_name(box) -> str:
                     x1, y1, x2, y2 = box
-                    name = "xmin{}_ymin{}_xmax{}_ymax{}".format(
+                    return "xmin{}_ymin{}_xmax{}_ymax{}".format(
                         int(x1 / MAGNIFICATION), int(y1 / MAGNIFICATION),
                         int(x2 / MAGNIFICATION), int(y2 / MAGNIFICATION))
-                    relabeled = relabel_to_cityscapes(
-                        class_map.astype(np.uint8))
-                    doc = build_labelme_doc(relabeled, relabeled,
-                                            name + ".PNG")
-                    with open(os.path.join(crop_dir, name + ".json"),
-                              "w") as jf:
-                        json.dump(doc, jf, indent=4)
+
+                if self.crop_artifact == "labelme":
+                    def on_crop(box, class_map):
+                        name = crop_name(box)
+                        relabeled = relabel_to_cityscapes(
+                            class_map.astype(np.uint8))
+                        doc = build_labelme_doc(relabeled, relabeled,
+                                                name + ".PNG")
+                        with open(os.path.join(crop_dir, name + ".json"),
+                                  "w") as jf:
+                            json.dump(doc, jf, indent=4)
+                else:
+                    # GTCS contract: crop-resolution palette label PNGs
+                    # named by the /8 box coords — what the staged GTCS
+                    # stitcher reads (eval_wsi_segmentation_gtcs.py
+                    # overlay + read_gt_list)
+                    from ..utils.labelme_io import lblsave
+
+                    def on_crop(box, class_map):
+                        lblsave(os.path.join(crop_dir,
+                                             crop_name(box) + ".PNG"),
+                                class_map.astype(np.uint8))
 
             canvas = self.segmenter.segment_slide(slide, merged,
                                                   progress=progress,
@@ -235,7 +265,7 @@ class FusedEndToEnd:
             region = slide.read_region_array((0, y0), 0, (w8 * 8, rows))
             small = region[::8, ::8, ::-1]  # /8, RGB->BGR
             sl = canvas[y0 // 8: y0 // 8 + small.shape[0]]
-            color = colorize(sl, ESPNET_PALETTE, bgr=True)
+            color = colorize(sl, self.palette, bgr=True)
             out[y0 // 8: y0 // 8 + small.shape[0]] = cv2.addWeighted(
                 small[: sl.shape[0]], 0.4, color, 0.6, 0)
         cv2.imwrite(os.path.join(output_dir, patient_id + "_pred.jpg"), out)

@@ -44,6 +44,13 @@ def _env(n_devices: int) -> dict:
     env = dict(os.environ)
     env["GSEG_PLATFORM"] = "cpu"
     env["GSEG_CPU_DEVICES"] = str(n_devices)
+    # the worker subprocess must import the package even when the suite
+    # runs from a tree that was never pip-installed (conftest only fixes
+    # sys.path for the in-process suite); APPEND to PYTHONPATH — the axon
+    # sitecustomize lives there and must stay first
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = (env["PYTHONPATH"] + os.pathsep + root
+                         if env.get("PYTHONPATH") else root)
     # conftest forces an 8-device host platform for the in-process suite;
     # the workers size their device count via GSEG_CPU_DEVICES instead
     flags = [f for f in env.get("XLA_FLAGS", "").split()
