@@ -107,22 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def build_pipeline(args, backend):
+    """Flags -> :class:`..pipeline.e2e.FusedEndToEnd` for either model
+    family (5-fold ESPNet ensemble, or SegFormer/GTCS via
+    ``--segformer_checkpoint``).  Shared with ``gseg-serve``."""
     from ..pipeline.e2e import FusedEndToEnd
     from ..pipeline.fused import EnsembleConfig, EnsembleSegmenter
-    from ..utils.glomus_handler import GlomusHandler
-    from ..utils.target_list import read_target_list
-    from .detect import load_backend
-
-    backend = load_backend(
-        args.model, args.model_name, args.batch_size,
-        od_api_overrides={"min_dimension": args.min_dimension,
-                          "max_dimension": args.max_dimension,
-                          "max_proposals": args.max_proposals,
-                          "device_resize": args.device_resize,
-                          "compat_tf1_resize": not args.cv2_resize},
-        data_parallel=args.data_parallel)
 
     mesh = None
     if args.data_parallel:
@@ -169,6 +159,25 @@ def main(argv=None):
             merge_conf=args.merge_conf_threshold,
             merge_overlap=args.merge_overlap_threshold,
             host_resize=args.host_resize, transfer=args.transfer)
+    return pipe
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..utils.glomus_handler import GlomusHandler
+    from ..utils.target_list import read_target_list
+    from .detect import load_backend
+    from ..pipeline.e2e import FusedEndToEnd
+
+    backend = load_backend(
+        args.model, args.model_name, args.batch_size,
+        od_api_overrides={"min_dimension": args.min_dimension,
+                          "max_dimension": args.max_dimension,
+                          "max_proposals": args.max_proposals,
+                          "device_resize": args.device_resize,
+                          "compat_tf1_resize": not args.cv2_resize},
+        data_parallel=args.data_parallel)
+    pipe = build_pipeline(args, backend)
 
     staining_dir = GlomusHandler.get_staining_type(args.data_category)
     json_dir = (None if args.no_json

@@ -56,10 +56,9 @@ def main(argv=None):
     # --target_list/--data_dir are e2e-only; the spool supplies the work
     args.target_list = args.data_dir = None
 
-    from ..pipeline.e2e import FusedEndToEnd
-    from ..pipeline.fused import EnsembleConfig, EnsembleSegmenter
     from ..pipeline.serve import SlideServer
     from .detect import load_backend
+    from .e2e import build_pipeline
 
     backend = load_backend(
         args.model, args.model_name, args.batch_size,
@@ -69,28 +68,9 @@ def main(argv=None):
                           "device_resize": args.device_resize,
                           "compat_tf1_resize": not args.cv2_resize},
         data_parallel=args.data_parallel)
-
-    ckpts = [os.path.join(args.segmentation_weights_dir,
-                          f"espnet_fold{k}.pth") for k in args.folds]
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh(None if args.data_parallel < 0
-                         else args.data_parallel)
-    ensemble = EnsembleSegmenter(
-        EnsembleConfig(checkpoints=ckpts, folds=tuple(args.folds),
-                       batch_size=args.seg_batch_size,
-                       precision=args.precision,
-                       pack_output=args.pack_output),
-        mesh=mesh, engine=args.engine)
-
-    pipe = FusedEndToEnd(
-        backend, ensemble, data_category=args.data_category,
-        window_size=args.window_size, overlap_ratio=args.overlap_ratio,
-        detect_conf=args.conf_threshold, merge_conf=args.merge_conf_threshold,
-        merge_overlap=args.merge_overlap_threshold,
-        host_resize=args.host_resize, transfer=args.transfer)
+    # shared with gseg-e2e: either the 5-fold ESPNet ensemble or the
+    # SegFormer/GTCS family (--segformer_checkpoint)
+    pipe = build_pipeline(args, backend)
 
     json_dir = (None if args.no_json
                 else args.json_dir or os.path.join(args.output_dir, "json"))

@@ -106,6 +106,37 @@ def test_fused_segformer_oncrop_path_matches_gather_path(tmp_path):
         assert m.dtype == np.uint8
 
 
+def test_build_pipeline_selects_gtcs_family(tmp_path):
+    """The shared CLI pipeline builder (used by both gseg-e2e and
+    gseg-serve) wires the SegFormer segmenter, GTCS palette and PNG crop
+    artifacts when --segformer_checkpoint is given, and refuses the
+    ESPNet path without --segmentation_weights_dir."""
+    from glomeruli_segmentation_tpu.cli.e2e import (build_parser,
+                                                    build_pipeline)
+    from glomeruli_segmentation_tpu.palette import GTCS_PALETTE
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    variables = _tiny_variables(seed=11)
+    save_torch_legacy(
+        {"params": jax.tree.map(np.asarray, variables["params"]),
+         "batch_stats": jax.tree.map(np.asarray,
+                                     variables["batch_stats"]),
+         "num_labels": 5},
+        str(ckpt_dir / "flax_model.pth"))
+    common = ["--model", "x", "--target_list", "t", "--data_dir", "d"]
+    args = build_parser().parse_args(
+        common + ["--segformer_checkpoint", str(ckpt_dir)])
+    pipe = build_pipeline(args, BlobBackend())
+    assert isinstance(pipe.segmenter, SegformerSlideSegmenter)
+    assert pipe.crop_artifact == "png"
+    assert pipe.palette is GTCS_PALETTE
+
+    args = build_parser().parse_args(common)
+    with pytest.raises(SystemExit):
+        build_pipeline(args, BlobBackend())
+
+
 @pytest.mark.slow
 def test_e2e_cli_segformer(tmp_path, monkeypatch):
     """`gseg-e2e --segformer_checkpoint`: checkpoint loading (dir form),
