@@ -106,6 +106,28 @@ def test_fused_segformer_oncrop_path_matches_gather_path(tmp_path):
         assert m.dtype == np.uint8
 
 
+def test_fused_segformer_data_parallel_matches_single_device(tmp_path):
+    """Crop batches sharded over a 4-device 'data' mesh produce the
+    byte-identical /8 canvas (params replicated, gather tables sharded
+    alongside the batch)."""
+    from glomeruli_segmentation_tpu.parallel.mesh import make_data_mesh
+
+    slide_path, _, _ = _make_slide(tmp_path, patient="H16-88890")
+    variables = _tiny_variables(seed=5)
+    boxes = [[64, 128, 576, 640], [700, 200, 1100, 900],
+             [100, 900, 1500, 1400]]
+    dets = [b + [0.95] for b in boxes]
+    cfg = SegformerSlideConfig(batch_size=4)
+    single = SegformerSlideSegmenter(variables, cfg)
+    mesh = make_data_mesh(4, cfg.batch_size)
+    assert mesh is not None
+    sharded = SegformerSlideSegmenter(variables, cfg, mesh=mesh)
+    with open_slide(str(slide_path)) as slide:
+        a = single.segment_slide(slide, dets)
+        b = sharded.segment_slide(slide, dets)
+    assert np.array_equal(a, b)
+
+
 def test_build_pipeline_selects_gtcs_family(tmp_path):
     """The shared CLI pipeline builder (used by both gseg-e2e and
     gseg-serve) wires the SegFormer segmenter, GTCS palette and PNG crop
