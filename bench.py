@@ -1,14 +1,33 @@
 """Benchmark: ESPNet crop-segmentation throughput vs the torch CPU reference.
 
-Prints ONE JSON line:
+Prints ONE JSON line of record:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The headline unit is crops/sec — one "crop" is a full 512x1024 ESPNet
 forward + argmax, the hot loop of the reference pipeline
-(``module/espnet/test/VisualizeResults_iou.py:100-129``).  ``vs_baseline``
-is measured against the torch-CPU reference model run on this same host
-(the reference ships no numbers — BASELINE.md), falling back to a recorded
-constant when torch or the reference tree is unavailable.
+(``module/espnet/test/VisualizeResults_iou.py:100-129``).
+
+Robustness contract (round 4 — the round-3 driver artifact was a timeout
+with nothing to parse):
+
+- the headline line is printed + flushed IMMEDIATELY after the headline
+  measurement, so a driver timeout at any later point still leaves a
+  parseable record in the output tail;
+- a second, superseding line with the e2e extras follows if the wall-clock
+  budget allows (``GSEG_BENCH_BUDGET_S``, default 480 s); sub-benches that
+  would exceed the budget are skipped with explicit markers;
+- the backend probe is bounded at 60 s (an outage fails fast, it does not
+  eat the budget);
+- the expensive variants (host-resize re-measure, serial stage breakdowns,
+  live torch re-measure) run only under ``GSEG_BENCH_FULL=1`` — their
+  numbers are recorded in BASELINE.md and change only when the code does.
+
+``vs_baseline`` is pinned to the committed torch-CPU reference denominator
+(BASELINE.md "Measured reference denominator": 0.295 s/crop/fold =
+3.39 crops/sec on this host) — a live re-measure on this contended
+single-core host jittered the ratio +-40% across rounds for an unchanged
+numerator.  ``GSEG_BENCH_FULL=1`` additionally reports the live torch
+measurement separately as ``extra.live_torch_crops_per_sec``.
 """
 from __future__ import annotations
 
@@ -22,15 +41,23 @@ H, W = 512, 1024
 WARMUP = 2
 ITERS = 3
 
-# torch-CPU reference throughput measured on the dev host (crops/sec);
-# used only when the live baseline measurement is unavailable.
-FALLBACK_BASELINE_CROPS_PER_SEC = 0.55
+# committed torch-CPU reference denominator (crops/sec) — BASELINE.md
+# round-2 measurement on this host (bench_reference.py): 0.295 s/crop/fold.
+BASELINE_CROPS_PER_SEC = 3.39
 
 # measured reference denominators on this host's CPU (bench_reference.py,
 # committed in BASELINE.md): composed end-to-end sec/slide for the
 # bench_e2e.py synthetic slide (4 windows, 48 crops, 5 folds)
 REFERENCE_E2E_SEC_PER_SLIDE = 112.89
 REFERENCE_DETECTION_WINDOWS_PER_SEC = 0.095
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("GSEG_BENCH_BUDGET_S", "480"))
+FULL = os.environ.get("GSEG_BENCH_FULL", "") not in ("", "0")
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
 
 
 def bench_ours() -> float:
@@ -91,11 +118,12 @@ def bench_ours() -> float:
 
 
 def bench_torch_reference() -> float | None:
+    """Live torch-CPU re-measure (GSEG_BENCH_FULL only — reported
+    separately, never the ``vs_baseline`` denominator)."""
     ref_dir = "/root/reference/module/espnet/train"
     if not os.path.isdir(ref_dir):
         return None
     try:
-        import numpy as np
         import torch
     except ImportError:
         return None
@@ -121,7 +149,13 @@ def bench_torch_reference() -> float | None:
 def bench_e2e_extra() -> dict:
     """Whole-slide numbers (bench_e2e.py stages) folded into the bench
     artifact: sec/slide + slides/hour vs the measured torch-CPU reference
-    denominator (bench_reference.py, BASELINE.md)."""
+    denominator (bench_reference.py, BASELINE.md).
+
+    Each sub-bench checks the remaining wall-clock budget first; a skip
+    leaves an explicit ``"skipped": "budget"`` marker instead of a blank.
+    The per-process compile-cache deserialization for the big ensemble
+    programs costs ~2-3 min on this host (CLAUDE.md), so the margins below
+    are generous."""
     import bench_e2e
 
     tmp = os.path.join("/tmp", "gseg_bench_slide.tiff")
@@ -134,32 +168,46 @@ def bench_e2e_extra() -> dict:
     centers = np.load(centers_file)
     # each sub-bench is independently guarded: a failure in one stage
     # must not blank the others' numbers in the driver artifact
-    try:
-        det = bench_e2e.bench_detection(tmp)
-    except Exception as e:
-        det = {"error": repr(e)}
-    try:
-        seg = bench_e2e.bench_fused_segmentation(tmp, centers)
-    except Exception as e:
-        seg = {"error": repr(e)}
-    try:
-        sf = bench_e2e.bench_segformer()
-    except Exception:
-        sf = {}
+    if _remaining() > (120 if not FULL else 180):
+        try:
+            det = bench_e2e.bench_detection(tmp, full=FULL)
+        except Exception as e:
+            det = {"error": repr(e)}
+    else:
+        det = {"skipped": "budget"}
+    if _remaining() > (120 if not FULL else 300):
+        try:
+            seg = bench_e2e.bench_fused_segmentation(tmp, centers, full=FULL)
+        except Exception as e:
+            seg = {"error": repr(e)}
+    else:
+        seg = {"skipped": "budget"}
+    if _remaining() > 90:
+        try:
+            sf = bench_e2e.bench_segformer()
+        except Exception:
+            sf = {}
+    else:
+        sf = {"skipped": "budget"}
     extra = {
         "detection_windows_per_sec": det.get("windows_per_sec"),
         "detection_sec_per_slide": det.get("sec_per_slide"),
-        "detection_breakdown": det.get("breakdown"),
         "fused_5fold_sec_per_slide": seg.get("sec_per_slide"),
         "fused_5fold_crops_per_sec": seg.get("crops_per_sec"),
-        "fused_5fold_sec_per_slide_host_resize":
-            seg.get("sec_per_slide_host_resize"),
-        "fused_5fold_crops_per_sec_host_resize":
-            seg.get("crops_per_sec_host_resize"),
         "fused_engine": seg.get("engine"),
-        "fused_breakdown": seg.get("breakdown"),
         "segformer_crops_per_sec": sf.get("crops_per_sec"),
     }
+    if FULL:
+        extra["detection_breakdown"] = det.get("breakdown")
+        extra["fused_breakdown"] = seg.get("breakdown")
+        extra["fused_5fold_sec_per_slide_host_resize"] = seg.get(
+            "sec_per_slide_host_resize")
+        extra["fused_5fold_crops_per_sec_host_resize"] = seg.get(
+            "crops_per_sec_host_resize")
+    for key, d in (("detection_skipped", det), ("fused_skipped", seg),
+                   ("segformer_skipped", sf)):
+        if "skipped" in d:
+            extra[key] = d["skipped"]
     for key, d in (("detection_error", det), ("fused_error", seg)):
         if "error" in d:
             extra[key] = d["error"]
@@ -176,13 +224,14 @@ def bench_e2e_extra() -> dict:
     return extra
 
 
-def _probe_backend(timeout_s: int = 300) -> None:
+def _probe_backend(timeout_s: int = 60) -> None:
     """Fail fast (non-zero exit) when the TPU backend is unreachable.
 
     ``jax.devices()`` on the axon tunnel blocks indefinitely during an
     outage; a bench run must produce a bounded, explicit failure instead
     of hanging the driver.  The probe runs in a subprocess so the main
-    process never touches a dead backend."""
+    process never touches a dead backend.  60 s: a healthy tunnel answers
+    in ~10 s; a longer timeout only eats the bench budget during outages."""
     effective = (os.environ.get("GSEG_PLATFORM")
                  or os.environ.get("JAX_PLATFORMS", "")).lower()
     if effective == "cpu":
@@ -207,30 +256,51 @@ def _probe_backend(timeout_s: int = 300) -> None:
         sys.exit(2)
 
 
+def _emit(record: dict) -> None:
+    print(json.dumps(record))
+    sys.stdout.flush()
+
+
 def main():
     _probe_backend()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     ours = bench_ours()
-    baseline = None
-    try:
-        baseline = bench_torch_reference()
-    except Exception:
-        baseline = None
-    if baseline is None:
-        baseline = FALLBACK_BASELINE_CROPS_PER_SEC
+    record = {
+        "metric": "espnet_crop_segmentation_throughput",
+        "value": round(ours, 3),
+        "unit": "crops/sec",
+        "vs_baseline": round(ours / BASELINE_CROPS_PER_SEC, 3),
+    }
+    # flush the headline NOW: any later timeout/crash still leaves a
+    # parseable record in the output tail (round-3 driver artifact was
+    # rc=124 with nothing emitted)
+    _emit(dict(record, extra={"partial": "headline only; extras follow"}))
     try:
         extra = bench_e2e_extra()
     except Exception as e:  # the headline metric must survive e2e failures
         extra = {"error": repr(e)}
-    print(json.dumps({
-        "metric": "espnet_crop_segmentation_throughput",
-        "value": round(ours, 3),
-        "unit": "crops/sec",
-        "vs_baseline": round(ours / baseline, 3),
-        "extra": extra,
-    }))
+    if FULL and _remaining() > 60:
+        try:
+            live = bench_torch_reference()
+        except Exception:
+            live = None
+        if live:
+            extra["live_torch_crops_per_sec"] = round(live, 3)
+            extra["vs_live_torch"] = round(ours / live, 3)
+    if os.environ.get("GSEG_BENCH_LARGE", "") not in ("", "0"):
+        # ~1 Gpx sustained tier: explicit opt-in only (slide build ~3 min
+        # one-time + cold program compiles through the remote AOT service)
+        import bench_e2e
+
+        try:
+            extra["large_slide"] = bench_e2e.run_large()
+        except Exception as e:
+            extra["large_slide"] = {"error": repr(e)}
+    extra["wall_s"] = round(time.monotonic() - _T0, 1)
+    # the final line supersedes the early one (same headline numbers)
+    _emit(dict(record, extra=extra))
 
 
 if __name__ == "__main__":
