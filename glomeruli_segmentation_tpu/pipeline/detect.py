@@ -459,11 +459,15 @@ class GlomusDetector(GlomusHandler):
         SENTINEL = object()
 
         def producer():
+            # a window-read failure must reach the consumer, not silently
+            # truncate the scan (the slide would be logged complete with
+            # missing detections — same contract as the fused producers)
             try:
                 for item in windows:
                     q.put(item)
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # re-raised in the consumer loop
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -472,6 +476,8 @@ class GlomusDetector(GlomusHandler):
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             buf.append(item)
             if len(buf) == self.batch_size:
                 yield buf

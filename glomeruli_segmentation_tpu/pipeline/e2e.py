@@ -217,16 +217,19 @@ class FusedEndToEnd:
                                   "w") as jf:
                             json.dump(doc, jf, indent=4)
                 else:
-                    # GTCS contract: crop-resolution palette label PNGs
-                    # named by the /8 box coords — what the staged GTCS
-                    # stitcher reads (eval_wsi_segmentation_gtcs.py
-                    # overlay + read_gt_list)
-                    from ..utils.labelme_io import lblsave
+                    # GTCS contract: crop-resolution label PNGs named by
+                    # the /8 box coords — what the staged GTCS stitcher
+                    # reads (eval_wsi_segmentation_gtcs.py overlay +
+                    # read_gt_list).  Mode 'L' grayscale, byte-compatible
+                    # with the staged chain's save_image
+                    # (SegFormer/test/test.py pred_img save semantics,
+                    # mirrored in segment_crops' save_triptych)
+                    from PIL import Image
 
                     def on_crop(box, class_map):
-                        lblsave(os.path.join(crop_dir,
-                                             crop_name(box) + ".PNG"),
-                                class_map.astype(np.uint8))
+                        Image.fromarray(class_map.astype(np.uint8),
+                                        mode="L").save(
+                            os.path.join(crop_dir, crop_name(box) + ".PNG"))
 
             canvas = self.segmenter.segment_slide(slide, merged,
                                                   progress=progress,

@@ -96,6 +96,12 @@ class SegformerSlideSegmenter:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            n_data = mesh.shape["data"]
+            if cfg.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} must be divisible by "
+                    f"the mesh 'data' axis size {n_data} (crop batches "
+                    f"shard over it — same contract as EnsembleSegmenter)")
             data = NamedSharding(mesh, P("data"))
             self._data_sharding = data
             self.variables = jax.device_put(self.variables,
@@ -211,11 +217,16 @@ class SegformerSlideSegmenter:
         SENTINEL = object()
 
         def producer():
+            # a producer failure (e.g. a slide-read IOError) must reach
+            # the consumer, not silently truncate the canvas: the slide
+            # would otherwise be logged complete, --resume would skip it
+            # and gseg-serve would file the ticket under done/
             try:
                 for start in range(0, len(boxes), bs):
                     q.put(stage_batch(boxes[start: start + bs]))
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # re-raised in the consumer loop
+                q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
         done = 0
@@ -263,6 +274,8 @@ class SegformerSlideSegmenter:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             submitted = submit(item)
             if pending is not None:
                 drain(pending)

@@ -206,14 +206,32 @@ def test_e2e_cli_segformer(tmp_path, monkeypatch):
     assert rows and all(f'"{patient}.tiff"' in r for r in rows)
     pngs = glob.glob(str(out_dir / "json" / patient / "*.PNG"))
     assert len(pngs) == len(rows)
-    # palette-mode PNG, the GTCS stitcher's input contract
+    # mode-'L' grayscale PNG: byte-compatible with the staged chain's
+    # save_image (SegFormer/test/test.py; segformer_test.save_triptych)
     from PIL import Image
 
     im = Image.open(pngs[0])
-    assert im.mode == "P"
+    assert im.mode == "L"
     assert (out_dir / f"{patient}_pred.jpg").exists()
 
     # --resume: the completed slide is skipped, artifacts untouched
     before = csv_path.read_text()
     e2e_main(argv + ["--resume"])
     assert csv_path.read_text() == before
+
+
+def test_segformer_producer_failure_propagates(tmp_path):
+    """A slide-read failure on the staging producer thread must raise out
+    of segment_slide (round-3 advisor finding — a swallowed producer
+    exception silently truncated the canvas and the slide was recorded
+    complete)."""
+    from test_fused_pipeline import _FailingSlide
+
+    slide_path, _, _ = _make_slide(tmp_path)
+    segmenter = SegformerSlideSegmenter(
+        _tiny_variables(), SegformerSlideConfig(input_size=64, batch_size=2))
+    slide = _FailingSlide(open_slide(str(slide_path)), fail_after=3)
+    boxes = [[64 * (i % 4), 64, 64 * (i % 4) + 128, 192, 0.9]
+             for i in range(8)]
+    with pytest.raises(IOError, match="corrupt tile"):
+        segmenter.segment_slide(slide, boxes)
