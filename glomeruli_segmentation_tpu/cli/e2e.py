@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard detection windows and crop batches over "
                              "an N-device mesh (0 = off, -1 = all devices)")
+    parser.add_argument("--fold_parallel", type=int, default=0,
+                        help="shard the ensemble's FOLDS over N devices "
+                             "(-1 = all devices left after --data_parallel; "
+                             "composes into a fold x data mesh).  The only "
+                             "axis that cuts the per-fold latency-bound "
+                             "fixed cost at production batch sizes "
+                             "(BASELINE.md round-3 profile); the ordered "
+                             "combine is bit-identical to the sequential "
+                             "fold loop")
     parser.add_argument("--min_dimension", type=int, default=600)
     parser.add_argument("--max_dimension", type=int, default=1024)
     parser.add_argument("--max_proposals", type=int, default=300)
@@ -115,12 +124,40 @@ def build_pipeline(args, backend):
     from ..pipeline.fused import EnsembleConfig, EnsembleSegmenter
 
     mesh = None
-    if args.data_parallel:
+    fold_parallel = getattr(args, "fold_parallel", 0)
+    if fold_parallel:
+        from ..parallel.mesh import make_fold_mesh
+
+        if args.engine != "auto":
+            raise SystemExit("--fold_parallel selects the fold-parallel "
+                             "engine; drop --engine")
+        mesh = make_fold_mesh(fold_parallel, args.data_parallel,
+                              args.seg_batch_size)
+    elif args.data_parallel:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(None if args.data_parallel < 0
                          else args.data_parallel)
     if args.segformer_checkpoint:
+        # ESPNet-ensemble-only flags have no effect on the SegFormer
+        # path; surface conflicting combinations instead of silently
+        # ignoring them (advisor finding, round 3)
+        ignored = [name for name, val, default in (
+            ("--segmentation_weights_dir", args.segmentation_weights_dir,
+             None),
+            ("--folds", tuple(args.folds), (1, 2, 3, 4, 5)),
+            ("--engine", args.engine, "auto"),
+            ("--precision", args.precision, "default"),
+            ("--transfer", args.transfer, "auto"),
+            ("--host_resize", args.host_resize, False),
+            ("--pack_output", args.pack_output, False),
+            ("--fold_parallel", getattr(args, "fold_parallel", 0), 0),
+        ) if val != default]
+        if ignored:
+            raise SystemExit(
+                "these flags apply only to the 5-fold ESPNet ensemble "
+                "and conflict with --segformer_checkpoint: "
+                + ", ".join(ignored))
         from ..palette import GTCS_PALETTE
         from ..pipeline.fused_segformer import (SegformerSlideConfig,
                                                 SegformerSlideSegmenter,
@@ -151,7 +188,8 @@ def build_pipeline(args, backend):
                            batch_size=args.seg_batch_size,
                            precision=args.precision,
                            pack_output=args.pack_output),
-            mesh=mesh, engine=args.engine)
+            mesh=mesh,
+            engine="fold_parallel" if fold_parallel else args.engine)
         pipe = FusedEndToEnd(
             backend, ensemble, data_category=args.data_category,
             window_size=args.window_size, overlap_ratio=args.overlap_ratio,

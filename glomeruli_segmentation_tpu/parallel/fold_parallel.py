@@ -75,6 +75,63 @@ def pad_folds(stacked_vars: Any, mean: jax.Array, std: jax.Array,
             pad_leading(std), weights)
 
 
+def build_fold_parallel_fn(mesh: Mesh, model, *, axis_name: str = "data",
+                           data_axis: str | None = None,
+                           compute_dtype=jnp.float32,
+                           precision: str = "highest",
+                           exact: bool = True):
+    """The un-jitted shard_map'd fold-parallel program:
+    ``fn(vars_l, mean_l, std_l, wf_l, x) -> (B, H, W) uint8 argmax``.
+
+    Weight operands are fold-sharded over ``axis_name`` (pad with
+    :func:`pad_folds` first), ``x`` is replicated or sharded over
+    ``data_axis``.  Returned un-jitted so callers can embed it inside a
+    larger jitted program (:class:`...pipeline.fused.EnsembleSegmenter`
+    engine=\"fold_parallel\" calls it after its on-device dynamic resize);
+    :class:`FoldParallelEnsemble` wraps it in its own ``jax.jit``."""
+    classes = model.classes
+
+    def local(vars_l, mean_l, std_l, wf_l, x):
+        # vars_l: this device's fold slice (per folds leading);
+        # x: the full batch (or its data_axis shard)
+        def fold_probs(inputs):
+            v, m, s, w = inputs
+            xn = ((x - m) / s / 255.0).astype(compute_dtype)
+            with jax.default_matmul_precision(precision):
+                logits = model.apply(v, xn)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return w * probs
+
+        if exact:
+            # gather every fold's probability map and add strictly in
+            # fold order: bit-identical to the unsharded sequential
+            # fold loop (zero-weighted pads contribute exact +0.0)
+            _, probs_l = jax.lax.scan(
+                lambda _, inp: (None, fold_probs(inp)), None,
+                (vars_l, mean_l, std_l, wf_l))
+            parts = jax.lax.all_gather(probs_l, axis_name, axis=0)
+            # (n_dev, per, B, H, W, C) -> ordered fold-major flat view
+            flat = parts.reshape((-1,) + parts.shape[2:])
+            acc = flat[0]
+            for i in range(1, flat.shape[0]):
+                acc = acc + flat[i]
+        else:
+            def body(acc, inputs):
+                return acc + fold_probs(inputs), None
+
+            init = jnp.zeros(x.shape[:3] + (classes,), jnp.float32)
+            acc, _ = jax.lax.scan(body, init,
+                                  (vars_l, mean_l, std_l, wf_l))
+            acc = jax.lax.psum(acc, axis_name)
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+
+    fold = P(axis_name)
+    batch_spec = P() if data_axis is None else P(data_axis)
+    return _shard_map(local, mesh,
+                      in_specs=(fold, fold, fold, fold, batch_spec),
+                      out_specs=batch_spec)
+
+
 class FoldParallelEnsemble:
     """Reusable fold-sharded combine: pads and uploads the fold weights
     and jits the shard_map'd program ONCE at construction; each call then
@@ -105,57 +162,19 @@ class FoldParallelEnsemble:
                  compute_dtype=jnp.float32, precision: str = "highest",
                  exact: bool = True):
         n_dev = mesh.shape[axis_name]
-        classes = model.classes
-        n_folds = mean.shape[0]
-        per = (n_folds + (-n_folds) % n_dev) // n_dev
         vars_p, mean_p, std_p, wf = pad_folds(stacked_vars, mean, std,
                                               n_dev)
-
-        def local(vars_l, mean_l, std_l, wf_l, x):
-            # vars_l: this device's fold slice (per folds leading);
-            # x: the full batch (or its data_axis shard)
-            def fold_probs(inputs):
-                v, m, s, w = inputs
-                xn = ((x - m) / s / 255.0).astype(compute_dtype)
-                with jax.default_matmul_precision(precision):
-                    logits = model.apply(v, xn)
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                return w * probs
-
-            if exact:
-                # gather every fold's probability map and add strictly in
-                # fold order: bit-identical to the unsharded sequential
-                # fold loop (zero-weighted pads contribute exact +0.0)
-                _, probs_l = jax.lax.scan(
-                    lambda _, inp: (None, fold_probs(inp)), None,
-                    (vars_l, mean_l, std_l, wf_l))
-                parts = jax.lax.all_gather(probs_l, axis_name, axis=0)
-                flat = parts.reshape((n_dev * per,) + parts.shape[2:])
-                acc = flat[0]
-                for i in range(1, n_dev * per):
-                    acc = acc + flat[i]
-            else:
-                def body(acc, inputs):
-                    return acc + fold_probs(inputs), None
-
-                init = jnp.zeros(x.shape[:3] + (classes,), jnp.float32)
-                acc, _ = jax.lax.scan(body, init,
-                                      (vars_l, mean_l, std_l, wf_l))
-                acc = jax.lax.psum(acc, axis_name)
-            return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
-
-        fold = P(axis_name)
-        batch_spec = P() if data_axis is None else P(data_axis)
         # jit the shard_map'd program so repeat calls hit the trace cache
-        self._fn = jax.jit(_shard_map(
-            local, mesh, in_specs=(fold, fold, fold, fold, batch_spec),
-            out_specs=batch_spec))
-        shard = NamedSharding(mesh, fold)
+        self._fn = jax.jit(build_fold_parallel_fn(
+            mesh, model, axis_name=axis_name, data_axis=data_axis,
+            compute_dtype=compute_dtype, precision=precision, exact=exact))
+        shard = NamedSharding(mesh, P(axis_name))
         self._weights = (jax.device_put(vars_p, shard),
                          jax.device_put(mean_p, shard),
                          jax.device_put(std_p, shard),
                          jax.device_put(wf, shard))
-        self._batch_sharding = NamedSharding(mesh, batch_spec)
+        self._batch_sharding = NamedSharding(
+            mesh, P() if data_axis is None else P(data_axis))
         self._data_div = (mesh.shape[data_axis]
                           if data_axis is not None else 1)
         self._data_axis = data_axis

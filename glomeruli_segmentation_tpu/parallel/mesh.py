@@ -49,6 +49,36 @@ def make_data_mesh(data_parallel: int, batch_size: int) -> Optional[Mesh]:
     return mesh
 
 
+def make_fold_mesh(fold_parallel: int, data_parallel: int,
+                   batch_size: int) -> Mesh:
+    """The ``--fold_parallel`` CLI policy: a 2-D ``("fold", "data")`` mesh.
+
+    ``fold_parallel`` devices carry the ensemble's fold ("expert") axis
+    (``-1`` -> all devices not claimed by the data axis); ``data_parallel``
+    (``0`` treated as 1) carries the crop-batch axis.  Fold parallelism is
+    the only axis that cuts the ~60 ms/fold latency-bound fixed cost at
+    production batch sizes (BASELINE.md round-3 device profile) — data
+    parallelism splits the batch but still runs every fold's small-channel
+    segments per chip."""
+    if data_parallel < 0:
+        raise ValueError("--data_parallel -1 cannot compose with "
+                         "--fold_parallel; give an explicit size")
+    n_data = max(1, data_parallel)
+    devices = jax.devices()
+    n_fold = (len(devices) // n_data if fold_parallel < 0 else fold_parallel)
+    need = n_fold * n_data
+    if n_fold < 1 or len(devices) < need:
+        raise ValueError(
+            f"requested a {n_fold}x{n_data} (fold x data) mesh but only "
+            f"{len(devices)} jax device(s) are available; set "
+            f"GSEG_CPU_DEVICES/jax_num_cpu_devices or lower the sizes")
+    if batch_size % n_data:
+        raise ValueError(f"batch_size {batch_size} must be a multiple of "
+                         f"the data-axis size {n_data}")
+    arr = np.asarray(devices[:need]).reshape(n_fold, n_data)
+    return Mesh(arr, axis_names=("fold", "data"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -93,6 +93,17 @@ class EnsembleSegmenter:
             engine = ("xla" if variables is not None
                       else "packed" if config.batch_size < 96
                       else "fused")
+        if engine == "fold_parallel":
+            # fold ("expert") parallelism: each device holds only its
+            # fold slice and runs the full batch (or its data shard)
+            # through it; the ordered all_gather combine is bit-identical
+            # to the sequential fold loop (parallel/fold_parallel.py).
+            # The only axis that cuts the ~60 ms/fold latency-bound fixed
+            # cost at production batch sizes (BASELINE.md round-3 profile).
+            if mesh is None or "fold" not in mesh.axis_names:
+                raise ValueError(
+                    "engine='fold_parallel' needs a mesh with a 'fold' "
+                    "axis (parallel.mesh.make_fold_mesh)")
         self.engine = engine
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
@@ -103,18 +114,30 @@ class EnsembleSegmenter:
             means.append(mean)
             stds.append(std)
         if variables is not None:
-            assert engine == "xla", "injected variables require engine='xla'"
-            self.variables = variables
+            assert engine in ("xla", "fold_parallel"), \
+                "injected variables require engine='xla'/'fold_parallel'"
+            # fold_parallel must NOT keep the stack in self.variables:
+            # the mesh block replicates self.variables, but fold weights
+            # shard over the 'fold' axis
+            self.variables = variables if engine == "xla" else None
+            if engine == "fold_parallel":
+                _fp_stacked = variables
         else:
             for ckpt in config.checkpoints:
                 trees.append(load_espnet_variables(ckpt))
-            # the stacked raw fold tree feeds only the xla fold-vmap
-            # engine; the packed/fused engines repack `trees` themselves —
-            # stacking (and, under a mesh, uploading) ~7 MB of unused fold
-            # weights for them would be pure overhead on this tunnel
+            # the stacked raw fold tree feeds only the xla fold-vmap and
+            # fold-parallel engines; the packed/fused engines repack
+            # `trees` themselves — stacking (and, under a mesh, uploading)
+            # ~7 MB of unused fold weights for them would be pure overhead
+            # on this tunnel.  fold_parallel keeps the stack out of
+            # self.variables: the mesh block below replicates
+            # self.variables, but fold weights must shard over 'fold'.
             self.variables = (jax.tree.map(lambda *xs: jnp.stack(xs),
                                            *trees)
                               if engine == "xla" else None)
+            if engine == "fold_parallel":
+                _fp_stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                           *trees)
         self.mean = jnp.asarray(means, jnp.float32)  # (F, 3) BGR
         self.std = jnp.asarray(stds, jnp.float32)
         # thread the compute dtype into the flax model (xla engine): an
@@ -169,6 +192,23 @@ class EnsembleSegmenter:
             data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
             self._data_sharding = data
+            if engine == "fold_parallel":
+                from ..parallel.fold_parallel import (build_fold_parallel_fn,
+                                                      pad_folds)
+
+                vars_p, mean_p, std_p, wf = pad_folds(
+                    _fp_stacked, self.mean, self.std, mesh.shape["fold"])
+                fold_shard = NamedSharding(mesh, P("fold"))
+                # each device holds 1/n_fold of the stacked weights; the
+                # shard_map'd program is embedded un-jitted inside the
+                # jitted _forward* programs below
+                self._fp_weights = tuple(
+                    jax.device_put(t, fold_shard)
+                    for t in (vars_p, mean_p, std_p, wf))
+                self._fp_fn = build_fold_parallel_fn(
+                    mesh, self.model, axis_name="fold", data_axis="data",
+                    compute_dtype=jnp.dtype(config.compute_dtype),
+                    precision=config.precision, exact=True)
             if self.variables is not None:
                 self.variables = jax.device_put(self.variables, repl)
             self.mean = jax.device_put(self.mean, repl)
@@ -245,6 +285,13 @@ class EnsembleSegmenter:
 
     def _fold_argmax(self, resized: jax.Array) -> jax.Array:
         cfg = self.config
+        if self.engine == "fold_parallel":
+            # the fold-local fn normalizes per fold and casts to the
+            # compute dtype itself; hand it the f32 resized batch.  The
+            # ordered all_gather combine sums softmaxes strictly in fold
+            # order — argmax-identical to the sequential fold loop.
+            return self._fp_fn(*self._fp_weights,
+                               resized.astype(jnp.float32))
         if self.engine == "packed":
             # packed model normalizes per fold internally and owns the
             # compute/accumulator dtype policy
@@ -564,11 +611,16 @@ class FusedSlideSegmenter:
         SENTINEL = object()
 
         def producer():
+            # a producer failure (e.g. a slide-read IOError) must reach
+            # the consumer, not silently truncate the canvas — the slide
+            # would otherwise be logged complete and --resume / the serve
+            # daemon would treat it as done (advisor finding, round 3)
             try:
                 for start in range(0, len(boxes), bs):
                     q.put(stage_batch(boxes[start: start + bs]))
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # re-raised in the consumer loop
+                q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
         start = 0
@@ -640,6 +692,8 @@ class FusedSlideSegmenter:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             submitted = submit(item)
             if pending is not None:
                 drain(pending)

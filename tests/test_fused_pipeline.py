@@ -347,3 +347,41 @@ def test_host_resize_matches_device_resize(ensemble, tmp_path):
         slide, detections, on_crop=lambda box, m: seen.append(m.shape))
     assert len(seen) == len(detections)
     assert (host_full != host).mean() <= 1e-3
+
+
+class _FailingSlide:
+    """Slide proxy whose read_region_array fails after N reads — drives
+    the producer-thread failure paths."""
+
+    def __init__(self, inner, fail_after: int):
+        self._inner = inner
+        self._reads = 0
+        self._fail_after = fail_after
+        self.dimensions = inner.dimensions
+        self.properties = getattr(inner, "properties", {})
+
+    def read_region_array(self, *a, **k):
+        self._reads += 1
+        if self._reads > self._fail_after:
+            raise IOError("corrupt tile")
+        return self._inner.read_region_array(*a, **k)
+
+
+def test_producer_failure_propagates(ensemble, tmp_path):
+    """A slide-read failure on the staging producer thread must raise out
+    of segment_slide, not silently truncate the canvas (round-3 advisor
+    finding: a swallowed producer exception let the slide be logged
+    complete, --resume skipped it, and gseg-serve filed the ticket under
+    done/)."""
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    img, _ = pas_like_image(512, 768, seed=5, n_glomeruli=1)
+    path = str(tmp_path / "s.tiff")
+    write_pyramidal_tiff(path, img, mpp=0.25, levels=2)
+
+    slide = _FailingSlide(Slide(path), fail_after=3)
+    detections = [[64 * (i % 4), 64, 64 * (i % 4) + 128, 192, 0.9]
+                  for i in range(8)]
+    fused = FusedSlideSegmenter(ensemble)
+    with pytest.raises(IOError, match="corrupt tile"):
+        fused.segment_slide(slide, detections)
