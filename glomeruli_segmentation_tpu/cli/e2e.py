@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "before d2h — exact; opt in when the "
                              "device->host link is byte-limited")
     parser.add_argument("--no_overlay", action="store_true")
+    parser.add_argument("--serial_slides", action="store_true",
+                        help="disable cross-slide pipelining (by default "
+                             "slide N+1's detection scan overlaps slide "
+                             "N's fused segmentation on a producer "
+                             "thread; artifacts are identical either way)")
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already in the timing log and "
                              "append to the merged CSV instead of starting "
@@ -222,6 +227,7 @@ def main(argv=None):
                 else args.json_dir or os.path.join(args.output_dir, "json"))
     completed = FusedEndToEnd.prepare_output(
         args.output_dir, args.data_category, resume=args.resume)
+    jobs = []
     for entry in read_target_list(args.target_list):
         if entry.is_comment:
             continue
@@ -237,12 +243,16 @@ def main(argv=None):
             if entry.file_name.find(body) < 0 or ext.lower() not in (
                     ".ndpi", ".tiff", ".tif", ".svs"):
                 continue
-            pipe.run_slide(os.path.join(target_dir, candidate),
-                           args.output_dir, entry.specimen_id,
-                           json_dir=json_dir,
-                           write_overlay=not args.no_overlay,
-                           progress=True)
+            jobs.append((os.path.join(target_dir, candidate),
+                         entry.specimen_id))
             break
+    # cross-slide pipelining: slide N+1's detection scan runs under slide
+    # N's segmentation (pipeline/e2e.py run_slides); a failing slide
+    # aborts the run after the in-flight work drains (reference behavior:
+    # the staged chain stops on error too)
+    pipe.run_slides(jobs, args.output_dir, json_dir=json_dir,
+                    write_overlay=not args.no_overlay, progress=True,
+                    pipeline=not args.serial_slides)
 
 
 if __name__ == "__main__":

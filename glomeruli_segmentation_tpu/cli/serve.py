@@ -79,7 +79,8 @@ def main(argv=None):
                          write_overlay=not args.no_overlay,
                          poll_interval=args.poll_interval,
                          stop_file=args.stop_file,
-                         server_id=args.server_id)
+                         server_id=args.server_id,
+                         pipeline=not args.serial_slides)
     n = server.serve(max_slides=args.max_slides)
     print(f"served {n} ticket(s)")
 

@@ -169,73 +169,185 @@ class FusedEndToEnd:
                   json_dir: Optional[str] = None,
                   write_overlay: bool = True,
                   progress: bool = False) -> np.ndarray:
-        os.makedirs(output_dir, exist_ok=True)
-        file_name = os.path.basename(slide_path)
-        data_dir = os.path.dirname(slide_path)
         t0 = time.time()
         with wsi.open_slide(slide_path) as slide:
-            mpp_x = float(slide.properties[wsi.PROPERTY_NAME_MPP_X])
-            mpp_y = float(slide.properties[wsi.PROPERTY_NAME_MPP_Y])
-            detections = self.detect_slide(slide, data_dir, patient_id,
-                                           file_name)
-            merged = self.merge_boxes(detections, mpp_x, mpp_y)
+            merged = self._detect_and_merge(slide, slide_path, patient_id)
             t_detect = time.time() - t0
+            return self._segment_and_emit(
+                slide, slide_path, patient_id, merged, output_dir,
+                output_file_ext, json_dir, write_overlay, progress,
+                t0, t_detect)
 
-            # merged CSV rows (merge_overlaped_glomus.py:102-124 schema).
-            # Buffered here and flushed together with the timing-log row
-            # AFTER segmentation completes, so an interrupt mid-slide
-            # followed by --resume (which skips slides present in the
-            # timing log) never leaves partially-written slides' rows in
-            # the accumulated CSV — rerunning the slide would duplicate
-            # them.  A fresh run truncates via prepare_output() before the
-            # first slide.
-            csv_rows = [
-                ",{},\"{}\",{},{},{},{},{}\n".format(
-                    patient_id, file_name, int(rect[0]), int(rect[1]),
-                    int(rect[2]), int(rect[3]), rect[4])
-                for rect in merged]
+    def run_slides(self, jobs, output_dir: str,
+                   output_file_ext: str = "_GlomusMergedList_",
+                   json_dir: Optional[str] = None,
+                   write_overlay: bool = True, progress: bool = False,
+                   on_result=None, pipeline: bool = True) -> int:
+        """Multi-slide driver with cross-slide pipelining.
 
-            on_crop = None
-            if json_dir is not None:
-                crop_dir = os.path.join(json_dir, patient_id)
-                os.makedirs(crop_dir, exist_ok=True)
+        ``jobs``: iterable of ``(slide_path, patient_id)``.  With
+        ``pipeline=True`` slide N+1's detection scan + box merge (its own
+        device programs plus the host window reads) run on a producer
+        thread while slide N's fused segmentation and artifact emission
+        run on the caller thread — the reference's stages are separate
+        batch *processes* with nothing overlapped across slides
+        (example/README.md:27-133); here detection's host+device cost
+        hides under the previous slide's segmentation.  One-deep
+        lookahead bounds open slides to two.
 
-                def crop_name(box) -> str:
-                    x1, y1, x2, y2 = box
-                    return "xmin{}_ymin{}_xmax{}_ymax{}".format(
-                        int(x1 / MAGNIFICATION), int(y1 / MAGNIFICATION),
-                        int(x2 / MAGNIFICATION), int(y2 / MAGNIFICATION))
+        Per-slide artifacts and their ordering are identical to calling
+        :meth:`run_slide` per job (the CSV/timing rows flush in job order
+        from this thread).  ``on_result(patient_id, slide_path, error,
+        seconds)`` is called per slide in order, with ``error=None`` on
+        success; a slide failure is isolated — later slides still run.
+        Without ``on_result`` the first failure raises after the pipeline
+        drains.  Returns the number of successful slides."""
+        import queue
+        import threading
 
-                if self.crop_artifact == "labelme":
-                    def on_crop(box, class_map):
-                        name = crop_name(box)
-                        relabeled = relabel_to_cityscapes(
-                            class_map.astype(np.uint8))
-                        doc = build_labelme_doc(relabeled, relabeled,
-                                                name + ".PNG")
-                        with open(os.path.join(crop_dir, name + ".json"),
-                                  "w") as jf:
-                            json.dump(doc, jf, indent=4)
-                else:
-                    # GTCS contract: crop-resolution label PNGs named by
-                    # the /8 box coords — what the staged GTCS stitcher
-                    # reads (eval_wsi_segmentation_gtcs.py overlay +
-                    # read_gt_list).  Mode 'L' grayscale, byte-compatible
-                    # with the staged chain's save_image
-                    # (SegFormer/test/test.py pred_img save semantics,
-                    # mirrored in segment_crops' save_triptych)
-                    from PIL import Image
+        jobs = list(jobs)
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+        SENTINEL = object()
 
-                    def on_crop(box, class_map):
-                        Image.fromarray(class_map.astype(np.uint8),
-                                        mode="L").save(
-                            os.path.join(crop_dir, crop_name(box) + ".PNG"))
+        def detect_job(slide_path, patient_id, t0):
+            slide = wsi.open_slide(slide_path)
+            try:
+                merged = self._detect_and_merge(slide, slide_path,
+                                                patient_id)
+            except BaseException:
+                slide.close()
+                raise
+            return slide, merged, time.time() - t0
 
-            canvas = self.segmenter.segment_slide(slide, merged,
-                                                  progress=progress,
-                                                  on_crop=on_crop)
-            if write_overlay:
-                self._write_overlay(slide, canvas, output_dir, patient_id)
+        def producer():
+            for slide_path, patient_id in jobs:
+                t0 = time.time()
+                try:
+                    q.put((slide_path, patient_id, t0,
+                           detect_job(slide_path, patient_id, t0)))
+                except BaseException as e:  # per-slide isolation
+                    q.put((slide_path, patient_id, t0, e))
+            q.put(SENTINEL)
+
+        if pipeline:
+            threading.Thread(target=producer, daemon=True).start()
+
+            def items():
+                while True:
+                    item = q.get()
+                    if item is SENTINEL:
+                        return
+                    yield item
+        else:
+            def items():
+                for slide_path, patient_id in jobs:
+                    t0 = time.time()
+                    try:
+                        yield (slide_path, patient_id, t0,
+                               detect_job(slide_path, patient_id, t0))
+                    except BaseException as e:
+                        yield (slide_path, patient_id, t0, e)
+
+        ok = 0
+        first_error = None
+        for slide_path, patient_id, t0, staged in items():
+            error = None
+            if isinstance(staged, BaseException):
+                error = staged
+            else:
+                slide, merged, t_detect = staged
+                try:
+                    self._segment_and_emit(
+                        slide, slide_path, patient_id, merged, output_dir,
+                        output_file_ext, json_dir, write_overlay, progress,
+                        t0, t_detect)
+                    ok += 1
+                except BaseException as e:
+                    error = e
+                finally:
+                    slide.close()
+            if on_result is not None:
+                on_result(patient_id, slide_path, error,
+                          round(time.time() - t0, 3))
+            elif error is not None and first_error is None:
+                first_error = error
+        if first_error is not None:
+            raise first_error
+        return ok
+
+    def _detect_and_merge(self, slide, slide_path: str,
+                          patient_id: str) -> List[List[float]]:
+        """Stage 1 of a slide: window scan -> conf filter -> greedy merge."""
+        mpp_x = float(slide.properties[wsi.PROPERTY_NAME_MPP_X])
+        mpp_y = float(slide.properties[wsi.PROPERTY_NAME_MPP_Y])
+        detections = self.detect_slide(slide, os.path.dirname(slide_path),
+                                       patient_id,
+                                       os.path.basename(slide_path))
+        return self.merge_boxes(detections, mpp_x, mpp_y)
+
+    def _segment_and_emit(self, slide, slide_path: str, patient_id: str,
+                          merged: List[List[float]], output_dir: str,
+                          output_file_ext: str, json_dir: Optional[str],
+                          write_overlay: bool, progress: bool,
+                          t0: float, t_detect: float) -> np.ndarray:
+        """Stage 2: fused segmentation + every per-slide artifact."""
+        os.makedirs(output_dir, exist_ok=True)
+        file_name = os.path.basename(slide_path)
+        # merged CSV rows (merge_overlaped_glomus.py:102-124 schema).
+        # Buffered here and flushed together with the timing-log row
+        # AFTER segmentation completes, so an interrupt mid-slide
+        # followed by --resume (which skips slides present in the
+        # timing log) never leaves partially-written slides' rows in
+        # the accumulated CSV — rerunning the slide would duplicate
+        # them.  A fresh run truncates via prepare_output() before the
+        # first slide.
+        csv_rows = [
+            ",{},\"{}\",{},{},{},{},{}\n".format(
+                patient_id, file_name, int(rect[0]), int(rect[1]),
+                int(rect[2]), int(rect[3]), rect[4])
+            for rect in merged]
+
+        on_crop = None
+        if json_dir is not None:
+            crop_dir = os.path.join(json_dir, patient_id)
+            os.makedirs(crop_dir, exist_ok=True)
+
+            def crop_name(box) -> str:
+                x1, y1, x2, y2 = box
+                return "xmin{}_ymin{}_xmax{}_ymax{}".format(
+                    int(x1 / MAGNIFICATION), int(y1 / MAGNIFICATION),
+                    int(x2 / MAGNIFICATION), int(y2 / MAGNIFICATION))
+
+            if self.crop_artifact == "labelme":
+                def on_crop(box, class_map):
+                    name = crop_name(box)
+                    relabeled = relabel_to_cityscapes(
+                        class_map.astype(np.uint8))
+                    doc = build_labelme_doc(relabeled, relabeled,
+                                            name + ".PNG")
+                    with open(os.path.join(crop_dir, name + ".json"),
+                              "w") as jf:
+                        json.dump(doc, jf, indent=4)
+            else:
+                # GTCS contract: crop-resolution label PNGs named by
+                # the /8 box coords — what the staged GTCS stitcher
+                # reads (eval_wsi_segmentation_gtcs.py overlay +
+                # read_gt_list).  Mode 'L' grayscale, byte-compatible
+                # with the staged chain's save_image
+                # (SegFormer/test/test.py pred_img save semantics,
+                # mirrored in segment_crops' save_triptych)
+                from PIL import Image
+
+                def on_crop(box, class_map):
+                    Image.fromarray(class_map.astype(np.uint8),
+                                    mode="L").save(
+                        os.path.join(crop_dir, crop_name(box) + ".PNG"))
+
+        canvas = self.segmenter.segment_slide(slide, merged,
+                                              progress=progress,
+                                              on_crop=on_crop)
+        if write_overlay:
+            self._write_overlay(slide, canvas, output_dir, patient_id)
         # Slide complete: flush the buffered merged-CSV rows and the
         # per-slide timing-log row (detect_glomus_test.py:110-112,152-158)
         # together, making the slide's public artifacts atomic wrt --resume.

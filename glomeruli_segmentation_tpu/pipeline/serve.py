@@ -58,7 +58,13 @@ class SlideServer:
                  json_dir: Optional[str] = None, write_overlay: bool = True,
                  poll_interval: float = 2.0,
                  stop_file: Optional[str] = None,
-                 server_id: Optional[str] = None):
+                 server_id: Optional[str] = None,
+                 pipeline: bool = True, wave_size: int = 4):
+        """``pipeline``: overlap ticket N+1's detection scan with ticket
+        N's segmentation (``FusedEndToEnd.run_slides``).  Tickets are
+        claimed in waves of up to ``wave_size`` so the STOP file and
+        ``max_slides`` are honored between waves; a crash mid-wave leaves
+        the unprocessed claims in ``active/`` for startup recovery."""
         import socket
 
         # stable per-server-slot identity: a restart recovers its own
@@ -69,6 +75,8 @@ class SlideServer:
             raise ValueError("server_id must not contain '__' "
                              "(claim-name separator)")
         self.pipe = pipe
+        self.pipeline = pipeline and hasattr(pipe, "run_slides")
+        self.wave_size = max(1, wave_size)
         self.spool_dir = spool_dir
         self.output_dir = output_dir
         self.json_dir = json_dir
@@ -183,11 +191,98 @@ class SlideServer:
                 os.remove(claimed)
         return row
 
+    def _emit(self, row: dict) -> None:
+        self._log(row)
+        print(f"[{row.get('status')}] {row.get('patient_id', '?')}"
+              + (f" ({row['sec']}s)" if "sec" in row else ""))
+
+    def _process_wave(self, paths: List[str]) -> int:
+        """Claim up to a wave of tickets and stream them through the
+        cross-slide-pipelined runner: ticket N+1's detection scan + crop
+        staging overlap ticket N's fused segmentation
+        (``FusedEndToEnd.run_slides``).  Per-ticket lifecycle (claim ->
+        done/failed, log row, failure isolation) is identical to
+        :meth:`process_ticket`; rows are logged in ticket order.  Returns
+        the number of tickets handled (incl. skips/failures)."""
+        from collections import deque
+
+        handled = 0
+        wave = []  # (name, claimed, ticket, slide_path, patient_id, row)
+        for path in paths:
+            name = os.path.basename(path)
+            claimed = os.path.join(self.active_dir,
+                                   f"{self.server_id}__{name}")
+            try:
+                os.replace(path, claimed)
+            except FileNotFoundError:
+                continue  # a peer won the claim race
+            row = {"ticket": name}
+            try:
+                with open(claimed) as f:
+                    ticket = json.load(f)
+                slide_path = ticket["slide_path"]
+                patient_id = ticket.get(
+                    "patient_id",
+                    os.path.splitext(os.path.basename(slide_path))[0])
+            except Exception as exc:  # unreadable ticket: file it failed
+                row.update(status="failed",
+                           error=f"{type(exc).__name__}: {exc}")
+                with open(os.path.join(self.failed_dir, name), "w") as f:
+                    json.dump({"error": row["error"]}, f, indent=2)
+                if os.path.isfile(claimed):
+                    os.remove(claimed)
+                self._emit(row)
+                handled += 1
+                continue
+            row.update(patient_id=patient_id, slide_path=slide_path)
+            if patient_id in self.completed:
+                row["status"] = "skipped_already_done"
+                os.replace(claimed, os.path.join(self.done_dir, name))
+                self._emit(row)
+                handled += 1
+                continue
+            wave.append((name, claimed, ticket, slide_path, patient_id,
+                         row))
+        if not wave:
+            return handled
+
+        dq = deque(wave)
+
+        def on_result(patient_id, slide_path, error, sec):
+            nonlocal handled
+            name, claimed, ticket, _, pid, row = dq.popleft()
+            assert pid == patient_id, (pid, patient_id)
+            row["sec"] = sec
+            if error is None:
+                self.completed.add(pid)
+                row["status"] = "done"
+                os.replace(claimed, os.path.join(self.done_dir, name))
+            else:
+                row.update(status="failed",
+                           error=f"{type(error).__name__}: {error}")
+                traceback.print_exception(type(error), error,
+                                          error.__traceback__)
+                ticket["error"] = row["error"]
+                with open(os.path.join(self.failed_dir, name), "w") as f:
+                    json.dump(ticket, f, indent=2)
+                if os.path.isfile(claimed):
+                    os.remove(claimed)
+            self._emit(row)
+            handled += 1
+
+        self.pipe.run_slides(
+            [(slide_path, pid) for _, _, _, slide_path, pid, _ in wave],
+            self.output_dir, json_dir=self.json_dir,
+            write_overlay=self.write_overlay, on_result=on_result,
+            pipeline=self.pipeline)
+        return handled
+
     # -- main loop -------------------------------------------------------
 
     def serve(self, max_slides: Optional[int] = None) -> int:
         """Process tickets until the stop file appears (or ``max_slides``
         tickets have been handled).  Returns the number processed."""
+        use_waves = hasattr(self.pipe, "run_slides")
         processed = 0
         while True:
             if os.path.exists(self.stop_file):
@@ -199,13 +294,21 @@ class SlideServer:
                     return processed
                 time.sleep(self.poll_interval)
                 continue
+            if use_waves:
+                # STOP/max_slides are honored between waves; the wave cap
+                # bounds how much work a STOP must wait for
+                cap = self.wave_size if self.pipeline else 1
+                if max_slides is not None:
+                    cap = min(cap, max_slides - processed)
+                processed += self._process_wave(pending[:cap])
+                if max_slides is not None and processed >= max_slides:
+                    return processed
+                continue
             for path in pending:
                 row = self.process_ticket(path)
                 if row is None:
                     continue  # a peer server claimed it first
-                self._log(row)
-                print(f"[{row.get('status')}] {row.get('patient_id', '?')}"
-                      + (f" ({row['sec']}s)" if "sec" in row else ""))
+                self._emit(row)
                 processed += 1
                 if ((max_slides is not None and processed >= max_slides)
                         or os.path.exists(self.stop_file)):

@@ -238,3 +238,68 @@ def test_e2e_cli_fold_parallel(tmp_path, reference_models_dir, monkeypatch):
     with pytest.raises(SystemExit):
         build_pipeline(build_parser().parse_args(
             argv + ["--engine", "packed"]), BlobBackend())
+
+
+@pytest.mark.slow
+def test_run_slides_pipelined_matches_serial(tmp_path, reference_models_dir):
+    """Cross-slide pipelining (slide N+1's detection under slide N's
+    segmentation, pipeline/e2e.py run_slides): byte-identical public
+    artifacts vs the serial per-slide path on a 3-slide stream, with a
+    failing slide isolated mid-stream (VERDICT r3 weak 5)."""
+    from glomeruli_segmentation_tpu.pipeline.fused import (
+        EnsembleConfig,
+        EnsembleSegmenter,
+    )
+
+    slides = [_make_slide(tmp_path, patient=f"H16-2000{i}")
+              for i in range(3)]
+    ckpts = [str(reference_models_dir / "espnet_fold1.pth")]
+
+    def pipe():
+        ens = EnsembleSegmenter(EnsembleConfig(
+            checkpoints=ckpts, folds=(1,), batch_size=2,
+            compute_dtype="float32", precision="highest"))
+        return FusedEndToEnd(BlobBackend(), ens, window_size=100,
+                             overlap_ratio=0.5, detect_conf=0.5,
+                             merge_conf=0.9, merge_overlap=0.35)
+
+    jobs = [(str(path), pid) for path, _, pid in slides]
+    serial_dir, piped_dir = tmp_path / "serial", tmp_path / "piped"
+    p = pipe()
+    FusedEndToEnd.prepare_output(str(serial_dir), "OPT_PAS")
+    p.run_slides(jobs, str(serial_dir), json_dir=str(serial_dir / "json"),
+                 pipeline=False)
+    FusedEndToEnd.prepare_output(str(piped_dir), "OPT_PAS")
+    assert p.run_slides(jobs, str(piped_dir),
+                        json_dir=str(piped_dir / "json"),
+                        pipeline=True) == 3
+
+    csv = "OPT_PAS_GlomusMergedList_.csv"
+    assert (piped_dir / csv).read_text() == (serial_dir / csv).read_text()
+    for _, _, pid in slides:
+        sj = sorted(glob.glob(str(serial_dir / "json" / pid / "*.json")))
+        pj = sorted(glob.glob(str(piped_dir / "json" / pid / "*.json")))
+        assert [os.path.basename(x) for x in sj] == \
+               [os.path.basename(x) for x in pj] and sj
+        for a, b in zip(sj, pj):
+            assert open(a).read() == open(b).read()
+        a = np.fromfile(str(serial_dir / f"{pid}_pred.jpg"), np.uint8)
+        b = np.fromfile(str(piped_dir / f"{pid}_pred.jpg"), np.uint8)
+        assert np.array_equal(a, b)
+
+    # failure isolation: a dead slide mid-stream fails alone; the stream
+    # completes and on_result reports per-slide status in order
+    bad_jobs = [jobs[0], (str(tmp_path / "missing.tiff"), "GHOST"), jobs[2]]
+    results = []
+    out3 = tmp_path / "isolated"
+    FusedEndToEnd.prepare_output(str(out3), "OPT_PAS")
+    ok = p.run_slides(bad_jobs, str(out3), write_overlay=False,
+                      on_result=lambda pid, sp, err, sec:
+                      results.append((pid, err is None)))
+    assert ok == 2
+    assert results == [(jobs[0][1], True), ("GHOST", False),
+                       (jobs[2][1], True)]
+    # without on_result the first failure raises after the stream drains
+    with pytest.raises(Exception):
+        p.run_slides([(str(tmp_path / "missing.tiff"), "GHOST")],
+                     str(tmp_path / "raise_out"), write_overlay=False)
