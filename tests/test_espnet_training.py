@@ -508,13 +508,17 @@ def test_training_reaches_miou_floor(tmp_path):
     from glomeruli_segmentation_tpu.models.espnet import ESPNet
 
     _make_dataset(tmp_path, n_train=16, n_val=6, size=(96, 192))
-    epochs = 5
+    # calibrated on this population: at lr 2e-3 the val loss reaches
+    # ~0.13 and present-class IoU ~0.9+ by epoch 12 (the reference's
+    # default 5e-4 needs ~4x the epochs on this tiny set); lr is a
+    # reference CLI knob (main.py --lr), the recipe structure is unchanged
+    epochs = 12
     args = build_parser().parse_args([
         "--data_dir", str(tmp_path),
         "--cached_data_file", str(tmp_path / "cache.p"),
         "--savedir", str(tmp_path / "acc"),
         "--classes", "5", "--batch_size", "4", "--max_epochs", str(epochs),
-        "--scaleIn", "1", "--num_workers", "2",
+        "--scaleIn", "1", "--num_workers", "2", "--lr", "2e-3",
     ])
     args.decoder = True
     args.pretrained = None
@@ -547,7 +551,8 @@ def test_training_reaches_miou_floor(tmp_path):
     variables = load_espnet_variables(model_path)
     model = ESPNet(5, 2, 8)
     ev = IouEval(5)
-    val = small_loaders(trainer.data)["val"]
+    data = pickle.load(open(tmp_path / "cache.p", "rb"))
+    val = small_loaders(data)["val"]
     for imgs, lbls in val:
         logits = model.apply(variables, jnp.asarray(imgs))
         ev.add_batch(np.asarray(jnp.argmax(logits, -1)), np.asarray(lbls))
