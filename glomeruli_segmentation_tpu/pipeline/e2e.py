@@ -186,14 +186,14 @@ class FusedEndToEnd:
         """Multi-slide driver with cross-slide pipelining.
 
         ``jobs``: iterable of ``(slide_path, patient_id)``.  With
-        ``pipeline=True`` slide N+1's detection scan + box merge (its own
-        device programs plus the host window reads) run on a producer
-        thread while slide N's fused segmentation and artifact emission
-        run on the caller thread — the reference's stages are separate
-        batch *processes* with nothing overlapped across slides
-        (example/README.md:27-133); here detection's host+device cost
-        hides under the previous slide's segmentation.  One-deep
-        lookahead bounds open slides to two.
+        ``pipeline=True`` the slides stream through three overlapped
+        stages: slide N+1's detection scan + box merge (producer thread),
+        slide N's fused segmentation (caller thread), and slide N-1's
+        artifact emission — overlay strip reads + CSV/log flush, pure
+        host work — on an emitter thread.  The reference's stages are
+        separate batch *processes* with nothing overlapped across slides
+        (example/README.md:27-133).  Both hand-off queues are one-deep,
+        bounding open slides to three.
 
         Per-slide artifacts and their ordering are identical to calling
         :meth:`run_slide` per job (the CSV/timing rows flush in job order
@@ -248,6 +248,68 @@ class FusedEndToEnd:
                     except BaseException as e:
                         yield (slide_path, patient_id, t0, e)
 
+        if pipeline:
+            # third stage: slide N's artifact emission (overlay strip
+            # reads + CSV/log flush — host-only work) runs on an emitter
+            # thread under slide N+1's segmentation.  Emission stays in
+            # job order (single serial emitter), so the accumulated CSV /
+            # timing log are byte-ordered exactly like the serial path;
+            # at most three slides are open (producer / consumer /
+            # emitter, both queues one-deep).
+            state = {"ok": 0, "first_error": None}
+            emit_q: "queue.Queue" = queue.Queue(maxsize=1)
+
+            def finish(slide, slide_path, patient_id, t0, error, staged):
+                try:
+                    if error is None:
+                        merged, canvas, t_detect = staged
+                        try:
+                            self._emit(slide, slide_path, patient_id,
+                                       merged, canvas, output_dir,
+                                       output_file_ext, write_overlay,
+                                       t0, t_detect)
+                            state["ok"] += 1
+                        except BaseException as e:  # per-slide isolation
+                            error = e
+                finally:
+                    if slide is not None:
+                        slide.close()
+                if on_result is not None:
+                    on_result(patient_id, slide_path, error,
+                              round(time.time() - t0, 3))
+                elif error is not None and state["first_error"] is None:
+                    state["first_error"] = error
+
+            def emitter():
+                while True:
+                    item = emit_q.get()
+                    if item is SENTINEL:
+                        return
+                    finish(*item)
+
+            et = threading.Thread(target=emitter, daemon=True)
+            et.start()
+            for slide_path, patient_id, t0, staged in items():
+                if isinstance(staged, BaseException):
+                    emit_q.put((None, slide_path, patient_id, t0, staged,
+                                None))
+                    continue
+                slide, merged, t_detect = staged
+                try:
+                    canvas = self._segment(slide, patient_id, merged,
+                                           json_dir, progress)
+                except BaseException as e:
+                    emit_q.put((slide, slide_path, patient_id, t0, e,
+                                None))
+                    continue
+                emit_q.put((slide, slide_path, patient_id, t0, None,
+                            (merged, canvas, t_detect)))
+            emit_q.put(SENTINEL)
+            et.join()
+            if state["first_error"] is not None:
+                raise state["first_error"]
+            return state["ok"]
+
         ok = 0
         first_error = None
         for slide_path, patient_id, t0, staged in items():
@@ -290,23 +352,21 @@ class FusedEndToEnd:
                           output_file_ext: str, json_dir: Optional[str],
                           write_overlay: bool, progress: bool,
                           t0: float, t_detect: float) -> np.ndarray:
-        """Stage 2: fused segmentation + every per-slide artifact."""
-        os.makedirs(output_dir, exist_ok=True)
-        file_name = os.path.basename(slide_path)
-        # merged CSV rows (merge_overlaped_glomus.py:102-124 schema).
-        # Buffered here and flushed together with the timing-log row
-        # AFTER segmentation completes, so an interrupt mid-slide
-        # followed by --resume (which skips slides present in the
-        # timing log) never leaves partially-written slides' rows in
-        # the accumulated CSV — rerunning the slide would duplicate
-        # them.  A fresh run truncates via prepare_output() before the
-        # first slide.
-        csv_rows = [
-            ",{},\"{}\",{},{},{},{},{}\n".format(
-                patient_id, file_name, int(rect[0]), int(rect[1]),
-                int(rect[2]), int(rect[3]), rect[4])
-            for rect in merged]
+        """Stage 2+3 inline: fused segmentation, then every per-slide
+        artifact (the pipelined path in :meth:`run_slides` runs
+        :meth:`_segment` and :meth:`_emit` on different threads)."""
+        canvas = self._segment(slide, patient_id, merged, json_dir,
+                               progress)
+        self._emit(slide, slide_path, patient_id, merged, canvas,
+                   output_dir, output_file_ext, write_overlay, t0,
+                   t_detect)
+        return canvas
 
+    def _segment(self, slide, patient_id: str, merged: List[List[float]],
+                 json_dir: Optional[str], progress: bool) -> np.ndarray:
+        """Stage 2: the fused device segmentation (+ per-crop artifacts,
+        which segment_slide's own one-deep pipeline overlaps with device
+        compute)."""
         on_crop = None
         if json_dir is not None:
             crop_dir = os.path.join(json_dir, patient_id)
@@ -343,14 +403,32 @@ class FusedEndToEnd:
                                     mode="L").save(
                         os.path.join(crop_dir, crop_name(box) + ".PNG"))
 
-        canvas = self.segmenter.segment_slide(slide, merged,
-                                              progress=progress,
-                                              on_crop=on_crop)
+        return self.segmenter.segment_slide(slide, merged,
+                                            progress=progress,
+                                            on_crop=on_crop)
+
+    def _emit(self, slide, slide_path: str, patient_id: str,
+              merged: List[List[float]], canvas: np.ndarray,
+              output_dir: str, output_file_ext: str, write_overlay: bool,
+              t0: float, t_detect: float) -> None:
+        """Stage 3: the per-slide public artifacts.
+
+        The merged CSV rows (merge_overlaped_glomus.py:102-124 schema)
+        flush together with the timing-log row AFTER segmentation
+        completes, so an interrupt mid-slide followed by --resume (which
+        skips slides present in the timing log) never leaves
+        partially-written slides' rows in the accumulated CSV — rerunning
+        the slide would duplicate them.  A fresh run truncates via
+        prepare_output() before the first slide."""
+        os.makedirs(output_dir, exist_ok=True)
+        file_name = os.path.basename(slide_path)
+        csv_rows = [
+            ",{},\"{}\",{},{},{},{},{}\n".format(
+                patient_id, file_name, int(rect[0]), int(rect[1]),
+                int(rect[2]), int(rect[3]), rect[4])
+            for rect in merged]
         if write_overlay:
             self._write_overlay(slide, canvas, output_dir, patient_id)
-        # Slide complete: flush the buffered merged-CSV rows and the
-        # per-slide timing-log row (detect_glomus_test.py:110-112,152-158)
-        # together, making the slide's public artifacts atomic wrt --resume.
         csv_path = os.path.join(
             output_dir, f"{self.data_category}{output_file_ext}.csv")
         with open(csv_path, "a") as f:
@@ -364,7 +442,6 @@ class FusedEndToEnd:
             now = datetime.datetime.today().strftime("%Y-%m-%dT%H:%M:%S")
             f.write('"{}",{},{},{}\n'.format(
                 patient_id, time.time() - t0, t_detect, now))
-        return canvas
 
     def _write_overlay(self, slide, canvas: np.ndarray, output_dir: str,
                        patient_id: str) -> None:
