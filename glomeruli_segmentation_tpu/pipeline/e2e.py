@@ -446,18 +446,43 @@ class FusedEndToEnd:
     def _write_overlay(self, slide, canvas: np.ndarray, output_dir: str,
                        patient_id: str) -> None:
         """{patient}_pred.jpg: /8 slide with palette-colored labels,
-        0.4 org / 0.6 label (eval_wsi_segmentation.py:215-241)."""
+        0.4 org / 0.6 label (eval_wsi_segmentation.py:215-241; ours
+        covers the whole slide, the reference pastes evaluated windows
+        only — documented deviation).
+
+        The /8 background comes from the pyramid level with downsample
+        exactly 8 when the slide has one — decoding 1/64 of the bytes,
+        which on gigapixel slides turns minutes of whole-slide JPEG
+        decode into a single small-level read — and falls back to
+        level-0 strip decimation otherwise (synthetic fixtures often
+        carry <4 levels).  Pixel difference between the two sources is
+        the scanner's own pyramid resampling vs nearest decimation; the
+        label blend math is identical."""
         import cv2
 
         h8, w8 = canvas.shape
-        out = np.zeros((h8, w8, 3), np.uint8)
-        strip = 2048  # level-0 rows per read
-        for y0 in range(0, h8 * 8, strip):
-            rows = min(strip, h8 * 8 - y0)
-            region = slide.read_region_array((0, y0), 0, (w8 * 8, rows))
-            small = region[::8, ::8, ::-1]  # /8, RGB->BGR
-            sl = canvas[y0 // 8: y0 // 8 + small.shape[0]]
-            color = colorize(sl, self.palette, bgr=True)
-            out[y0 // 8: y0 // 8 + small.shape[0]] = cv2.addWeighted(
-                small[: sl.shape[0]], 0.4, color, 0.6, 0)
+        base = np.zeros((h8, w8, 3), np.uint8)
+        level = None
+        try:
+            cand = slide.get_best_level_for_downsample(8)
+            if abs(float(slide.level_downsamples[cand]) - 8.0) < 1e-6:
+                level = cand
+        except Exception:
+            level = None
+        if level is not None:
+            lw, lh = slide.level_dimensions[level]
+            w, h = min(lw, w8), min(lh, h8)
+            base[:h, :w] = slide.read_region_array(
+                (0, 0), level, (w, h))[:, :, ::-1]  # RGB->BGR
+        else:
+            strip = 2048  # level-0 rows per read
+            for y0 in range(0, h8 * 8, strip):
+                rows = min(strip, h8 * 8 - y0)
+                region = slide.read_region_array((0, y0), 0,
+                                                 (w8 * 8, rows))
+                small = region[::8, ::8, ::-1]  # /8, RGB->BGR
+                rows8 = min(small.shape[0], h8 - y0 // 8)
+                base[y0 // 8: y0 // 8 + rows8] = small[:rows8]
+        color = colorize(canvas, self.palette, bgr=True)
+        out = cv2.addWeighted(base, 0.4, color, 0.6, 0)
         cv2.imwrite(os.path.join(output_dir, patient_id + "_pred.jpg"), out)

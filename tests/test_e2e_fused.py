@@ -303,3 +303,42 @@ def test_run_slides_pipelined_matches_serial(tmp_path, reference_models_dir):
     with pytest.raises(Exception):
         p.run_slides([(str(tmp_path / "missing.tiff"), "GHOST")],
                      str(tmp_path / "raise_out"), write_overlay=False)
+
+
+def test_overlay_reads_pyramid_level_when_available(tmp_path):
+    """_write_overlay sources the /8 background from the pyramid level
+    with downsample exactly 8 when present (1/64 of the decode bytes —
+    the gigapixel-slide lever), falling back to level-0 strip decimation
+    otherwise; blend math identical on both paths."""
+    import cv2
+
+    from glomeruli_segmentation_tpu.wsi.tiff_reader import Slide
+
+    img, _ = pas_like_image(1024, 1536, seed=41, n_glomeruli=2)
+    with_l8 = str(tmp_path / "l4.tiff")
+    without_l8 = str(tmp_path / "l3.tiff")
+    write_pyramidal_tiff(with_l8, img, mpp=0.25, levels=4)   # ds 1,2,4,8
+    write_pyramidal_tiff(without_l8, img, mpp=0.25, levels=3)  # ds 1,2,4
+
+    pipe = FusedEndToEnd(BlobBackend(), segmenter=object())
+    canvas = np.zeros((1024 // 8, 1536 // 8), np.uint8)
+    canvas[40:80, 60:120] = 2
+
+    for path, tag in ((with_l8, "A"), (without_l8, "B")):
+        out_dir = tmp_path / tag
+        out_dir.mkdir()
+        with Slide(path) as slide:
+            if tag == "A":
+                lvl = slide.get_best_level_for_downsample(8)
+                assert abs(slide.level_downsamples[lvl] - 8.0) < 1e-6
+            pipe._write_overlay(slide, canvas, str(out_dir), "P")
+        jpg = cv2.imread(str(out_dir / "P_pred.jpg"))
+        assert jpg.shape == (128, 192, 3)
+        # the labelled region is blended toward the class color, the
+        # background toward the slide pixels
+        assert jpg[40:80, 60:120].mean() != jpg[:30, :30].mean()
+    a = cv2.imread(str(tmp_path / "A" / "P_pred.jpg")).astype(np.int16)
+    b = cv2.imread(str(tmp_path / "B" / "P_pred.jpg")).astype(np.int16)
+    # pyramid resampling vs nearest decimation: same image up to small
+    # resample/JPEG differences
+    assert np.abs(a - b).mean() < 12.0
