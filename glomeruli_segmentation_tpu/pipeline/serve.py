@@ -241,6 +241,14 @@ class SlideServer:
                 self._emit(row)
                 handled += 1
                 continue
+            if any(pid == patient_id for _, _, _, _, pid, _ in wave):
+                # a second ticket for the same patient inside one wave
+                # would run the slide twice (the serial loop learned
+                # completedness between tickets); defer it — unclaim back
+                # into the spool so the NEXT wave sees it and takes the
+                # skip-already-done path
+                os.replace(claimed, path)
+                continue
             wave.append((name, claimed, ticket, slide_path, patient_id,
                          row))
         if not wave:

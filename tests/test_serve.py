@@ -197,3 +197,28 @@ def test_serve_cli_parser_surface():
     with pytest.raises(SystemExit):
         parser.parse_args(["--model", "/m", "--segmentation_weights_dir",
                            "/w", "--spool_dir", "/s", "--target_list", "/t"])
+
+
+@pytest.mark.slow
+def test_serve_duplicate_patient_in_one_wave(tmp_path, reference_models_dir):
+    """Two tickets for the same patient submitted together: the wave path
+    must not run the slide twice (the serial loop learned completedness
+    between tickets; the wave defers the duplicate to the next wave,
+    which takes the skip-already-done path)."""
+    slide, _, pid = _make_slide(tmp_path, patient="H16-10004")
+    served = tmp_path / "served"
+    spool = tmp_path / "spool"
+    _drop_ticket(spool, "job1.json", slide, pid)
+    _drop_ticket(spool, "job2.json", slide, pid)
+    server = SlideServer(_pipe(reference_models_dir), str(spool),
+                         str(served), write_overlay=False)
+    assert server.serve(max_slides=2) == 2
+    rows = [json.loads(line)
+            for line in (served / "serve_log.jsonl").read_text().splitlines()]
+    assert sorted(r["status"] for r in rows) == \
+        ["done", "skipped_already_done"]
+    # the merged CSV holds the slide's rows exactly once
+    csv = (served / "OPT_PAS_GlomusMergedList_.csv").read_text()
+    lines = [l for l in csv.splitlines() if l.strip()]
+    assert len(lines) == len(set(lines)) and lines
+    assert sorted(os.listdir(spool / "done")) == ["job1.json", "job2.json"]
