@@ -109,16 +109,41 @@ def build_parser() -> argparse.ArgumentParser:
                              "before d2h — exact; opt in when the "
                              "device->host link is byte-limited")
     parser.add_argument("--no_overlay", action="store_true")
+    parser.add_argument("--slide_pipeline", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="cross-slide pipelining: detection of slide "
+                             "N+1 / segmentation of N / artifact emission "
+                             "of N-1 stream on three threads (artifacts "
+                             "identical and identically ordered either "
+                             "way).  'auto' (default) enables it when the "
+                             "host has >=2 CPU cores — on a single-core "
+                             "host the three host-side stages contend "
+                             "with the device-dispatch thread and "
+                             "measured a net LOSS on gigapixel slides "
+                             "(BASELINE.md round-4 A/B)")
     parser.add_argument("--serial_slides", action="store_true",
-                        help="disable cross-slide pipelining (by default "
-                             "slide N+1's detection scan overlaps slide "
-                             "N's fused segmentation on a producer "
-                             "thread; artifacts are identical either way)")
+                        help="alias for --slide_pipeline off")
     parser.add_argument("--resume", action="store_true",
                         help="skip slides already in the timing log and "
                              "append to the merged CSV instead of starting "
                              "fresh")
     return parser
+
+
+def resolve_slide_pipeline(args) -> bool:
+    """The --slide_pipeline policy, shared with gseg-serve: 'auto'
+    enables the three-stage cross-slide overlap only on hosts with >=2
+    CPU cores — with a single core the producer/emitter host work
+    (window JPEG decode, overlay decode+encode) contends with the
+    device-dispatch thread and measured a net loss on gigapixel slides,
+    while multi-core hosts get the overlap for free (BASELINE.md
+    round-4 A/B)."""
+    if getattr(args, "serial_slides", False):
+        return False
+    mode = getattr(args, "slide_pipeline", "auto")
+    if mode == "auto":
+        return (os.cpu_count() or 1) >= 2
+    return mode == "on"
 
 
 def build_pipeline(args, backend):
@@ -246,13 +271,13 @@ def main(argv=None):
             jobs.append((os.path.join(target_dir, candidate),
                          entry.specimen_id))
             break
-    # cross-slide pipelining: slide N+1's detection scan runs under slide
-    # N's segmentation (pipeline/e2e.py run_slides); a failing slide
-    # aborts the run after the in-flight work drains (reference behavior:
-    # the staged chain stops on error too)
+    # cross-slide pipelining: detection of slide N+1 / segmentation of N /
+    # emission of N-1 stream on three threads (pipeline/e2e.py
+    # run_slides); a failing slide aborts the run after the in-flight
+    # work drains (reference behavior: the staged chain stops on error)
     pipe.run_slides(jobs, args.output_dir, json_dir=json_dir,
                     write_overlay=not args.no_overlay, progress=True,
-                    pipeline=not args.serial_slides)
+                    pipeline=resolve_slide_pipeline(args))
 
 
 if __name__ == "__main__":

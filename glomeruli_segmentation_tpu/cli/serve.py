@@ -58,7 +58,7 @@ def main(argv=None):
 
     from ..pipeline.serve import SlideServer
     from .detect import load_backend
-    from .e2e import build_pipeline
+    from .e2e import build_pipeline, resolve_slide_pipeline
 
     backend = load_backend(
         args.model, args.model_name, args.batch_size,
@@ -80,7 +80,7 @@ def main(argv=None):
                          poll_interval=args.poll_interval,
                          stop_file=args.stop_file,
                          server_id=args.server_id,
-                         pipeline=not args.serial_slides)
+                         pipeline=resolve_slide_pipeline(args))
     n = server.serve(max_slides=args.max_slides)
     print(f"served {n} ticket(s)")
 
