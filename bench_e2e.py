@@ -94,7 +94,6 @@ def bench_large(slide_path: str, centers, batch_size: int = 48) -> dict:
     ensemble = EnsembleSegmenter(EnsembleConfig(
         checkpoints=ckpts, batch_size=batch_size), engine="auto")
     fused = FusedSlideSegmenter(ensemble)
-    slide = open_slide(slide_path)
     n = LARGE_REGION * LARGE_GRID
     rng = np.random.RandomState(0)
     detections = []
@@ -108,12 +107,13 @@ def bench_large(slide_path: str, centers, batch_size: int = 48) -> dict:
 
     det = bench_detection(slide_path, full=False)
 
-    t0 = time.perf_counter()
-    canvas = fused.segment_slide(slide, detections)
-    t_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    canvas = fused.segment_slide(slide, detections)
-    t_warm = time.perf_counter() - t0
+    with open_slide(slide_path) as slide:
+        t0 = time.perf_counter()
+        canvas = fused.segment_slide(slide, detections)
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        canvas = fused.segment_slide(slide, detections)
+        t_warm = time.perf_counter() - t0
 
     mem = {}
     try:

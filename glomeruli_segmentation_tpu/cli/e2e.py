@@ -31,8 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "flax_model.pth, a checkpoint-N dir, or a "
                              "training output dir (best checkpoint found "
                              "via log.txt); per-crop artifacts become the "
-                             "GTCS palette label PNGs and the overlay uses "
-                             "the GTCS palette")
+                             "GTCS label PNGs (mode-'L' grayscale, the "
+                             "staged chain's save_image format) and the "
+                             "overlay uses the GTCS palette")
     parser.add_argument("--num_labels", type=int, default=None,
                         help="GTCS class count (SegFormer path; default: "
                              "recorded in the checkpoint)")
@@ -142,7 +143,13 @@ def resolve_slide_pipeline(args) -> bool:
         return False
     mode = getattr(args, "slide_pipeline", "auto")
     if mode == "auto":
-        return (os.cpu_count() or 1) >= 2
+        # usable cores, not host cores: a cpuset-pinned container on a
+        # big node must count as single-core here
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            cores = os.cpu_count() or 1
+        return cores >= 2
     return mode == "on"
 
 
@@ -153,8 +160,30 @@ def build_pipeline(args, backend):
     from ..pipeline.e2e import FusedEndToEnd
     from ..pipeline.fused import EnsembleConfig, EnsembleSegmenter
 
-    mesh = None
     fold_parallel = getattr(args, "fold_parallel", 0)
+    if args.segformer_checkpoint:
+        # ESPNet-ensemble-only flags have no effect on the SegFormer
+        # path; surface conflicting combinations instead of silently
+        # ignoring them (advisor finding, round 3).  Checked BEFORE any
+        # mesh construction so the conflict message wins over e.g. a
+        # device-count error from --fold_parallel's mesh build.
+        ignored = [name for name, val, default in (
+            ("--segmentation_weights_dir", args.segmentation_weights_dir,
+             None),
+            ("--folds", tuple(args.folds), (1, 2, 3, 4, 5)),
+            ("--engine", args.engine, "auto"),
+            ("--precision", args.precision, "default"),
+            ("--transfer", args.transfer, "auto"),
+            ("--host_resize", args.host_resize, False),
+            ("--pack_output", args.pack_output, False),
+            ("--fold_parallel", fold_parallel, 0),
+        ) if val != default]
+        if ignored:
+            raise SystemExit(
+                "these flags apply only to the 5-fold ESPNet ensemble "
+                "and conflict with --segformer_checkpoint: "
+                + ", ".join(ignored))
+    mesh = None
     if fold_parallel:
         from ..parallel.mesh import make_fold_mesh
 
@@ -169,25 +198,6 @@ def build_pipeline(args, backend):
         mesh = make_mesh(None if args.data_parallel < 0
                          else args.data_parallel)
     if args.segformer_checkpoint:
-        # ESPNet-ensemble-only flags have no effect on the SegFormer
-        # path; surface conflicting combinations instead of silently
-        # ignoring them (advisor finding, round 3)
-        ignored = [name for name, val, default in (
-            ("--segmentation_weights_dir", args.segmentation_weights_dir,
-             None),
-            ("--folds", tuple(args.folds), (1, 2, 3, 4, 5)),
-            ("--engine", args.engine, "auto"),
-            ("--precision", args.precision, "default"),
-            ("--transfer", args.transfer, "auto"),
-            ("--host_resize", args.host_resize, False),
-            ("--pack_output", args.pack_output, False),
-            ("--fold_parallel", getattr(args, "fold_parallel", 0), 0),
-        ) if val != default]
-        if ignored:
-            raise SystemExit(
-                "these flags apply only to the 5-fold ESPNet ensemble "
-                "and conflict with --segformer_checkpoint: "
-                + ", ".join(ignored))
         from ..palette import GTCS_PALETTE
         from ..pipeline.fused_segformer import (SegformerSlideConfig,
                                                 SegformerSlideSegmenter,

@@ -67,8 +67,8 @@ class FusedEndToEnd:
         labelme JSONs) or ``segmenter`` — any object with the
         ``segment_slide(slide, detections, progress, on_crop)`` surface,
         e.g. :class:`.fused_segformer.SegformerSlideSegmenter` for the
-        GTCS model family (``crop_artifact="png"`` then emits the palette
-        label PNGs the staged GTCS stitcher consumes,
+        GTCS model family (``crop_artifact="png"`` then emits the
+        mode-'L' grayscale label PNGs the staged GTCS stitcher consumes,
         eval_wsi_segmentation_gtcs.py:221-308)."""
         # reference operating points: example/README.md:34-37,48-49
         self.backend = backend
@@ -189,24 +189,32 @@ class FusedEndToEnd:
         ``pipeline=True`` the slides stream through three overlapped
         stages: slide N+1's detection scan + box merge (producer thread),
         slide N's fused segmentation (caller thread), and slide N-1's
-        artifact emission — overlay strip reads + CSV/log flush, pure
-        host work — on an emitter thread.  The reference's stages are
-        separate batch *processes* with nothing overlapped across slides
-        (example/README.md:27-133).  Both hand-off queues are one-deep,
-        bounding open slides to three.
+        artifact emission — overlay reads + CSV/log flush, pure host
+        work — on an emitter thread.  The reference's stages are separate
+        batch *processes* with nothing overlapped across slides
+        (example/README.md:27-133).  Both hand-off queues are one-deep;
+        up to five slides can be open at once (one per stage plus one in
+        each queue).
 
         Per-slide artifacts and their ordering are identical to calling
-        :meth:`run_slide` per job (the CSV/timing rows flush in job order
-        from this thread).  ``on_result(patient_id, slide_path, error,
-        seconds)`` is called per slide in order, with ``error=None`` on
-        success; a slide failure is isolated — later slides still run.
-        Without ``on_result`` the first failure raises after the pipeline
-        drains.  Returns the number of successful slides."""
+        :meth:`run_slide` per job (the single serial emitter flushes the
+        CSV/timing rows in job order).  ``on_result(patient_id,
+        slide_path, error, seconds)`` is called per slide in order, with
+        ``error=None`` on success; with a reporter, a slide failure is
+        isolated and later slides still run.  WITHOUT ``on_result`` the
+        stream stops at the first failure (``run_slide``-loop semantics:
+        in-flight work drains, remaining slides are not processed) and
+        the error re-raises.  ``KeyboardInterrupt``/``SystemExit`` are
+        never treated as slide failures — they abort the stream.
+        Returns the number of successful slides."""
         import queue
         import threading
 
         jobs = list(jobs)
-        q: "queue.Queue" = queue.Queue(maxsize=1)
+        # ok / first per-slide failure (no-reporter mode) / emitter
+        # infrastructure failure (e.g. the reporter callback itself threw)
+        state = {"ok": 0, "first_error": None, "emitter_error": None}
+        stop = threading.Event()
         SENTINEL = object()
 
         def detect_job(slide_path, patient_id, t0):
@@ -219,123 +227,141 @@ class FusedEndToEnd:
                 raise
             return slide, merged, time.time() - t0
 
-        def producer():
+        def finish(slide, slide_path, patient_id, t0, error, staged):
+            """The single per-slide result-dispatch contract, shared by
+            the serial path and the emitter thread: emit artifacts,
+            close the slide, report/record the outcome."""
+            try:
+                if error is None:
+                    merged, canvas, t_detect = staged
+                    try:
+                        self._emit(slide, slide_path, patient_id, merged,
+                                   canvas, output_dir, output_file_ext,
+                                   write_overlay, t0, t_detect)
+                        state["ok"] += 1
+                    except Exception as e:  # per-slide isolation —
+                        # KeyboardInterrupt/SystemExit abort instead
+                        error = e
+            finally:
+                if slide is not None:
+                    slide.close()
+            if on_result is not None:
+                on_result(patient_id, slide_path, error,
+                          round(time.time() - t0, 3))
+            elif error is not None:
+                if state["first_error"] is None:
+                    state["first_error"] = error
+                # no reporter: stop the stream at the first failure
+                # (the run_slide-loop semantics gseg-e2e had before
+                # pipelining)
+                stop.set()
+
+        if not pipeline:
             for slide_path, patient_id in jobs:
+                if stop.is_set():
+                    break
                 t0 = time.time()
                 try:
-                    q.put((slide_path, patient_id, t0,
-                           detect_job(slide_path, patient_id, t0)))
-                except BaseException as e:  # per-slide isolation
-                    q.put((slide_path, patient_id, t0, e))
-            q.put(SENTINEL)
-
-        if pipeline:
-            threading.Thread(target=producer, daemon=True).start()
-
-            def items():
-                while True:
-                    item = q.get()
-                    if item is SENTINEL:
-                        return
-                    yield item
-        else:
-            def items():
-                for slide_path, patient_id in jobs:
-                    t0 = time.time()
-                    try:
-                        yield (slide_path, patient_id, t0,
-                               detect_job(slide_path, patient_id, t0))
-                    except BaseException as e:
-                        yield (slide_path, patient_id, t0, e)
-
-        if pipeline:
-            # third stage: slide N's artifact emission (overlay strip
-            # reads + CSV/log flush — host-only work) runs on an emitter
-            # thread under slide N+1's segmentation.  Emission stays in
-            # job order (single serial emitter), so the accumulated CSV /
-            # timing log are byte-ordered exactly like the serial path;
-            # at most three slides are open (producer / consumer /
-            # emitter, both queues one-deep).
-            state = {"ok": 0, "first_error": None}
-            emit_q: "queue.Queue" = queue.Queue(maxsize=1)
-
-            def finish(slide, slide_path, patient_id, t0, error, staged):
-                try:
-                    if error is None:
-                        merged, canvas, t_detect = staged
-                        try:
-                            self._emit(slide, slide_path, patient_id,
-                                       merged, canvas, output_dir,
-                                       output_file_ext, write_overlay,
-                                       t0, t_detect)
-                            state["ok"] += 1
-                        except BaseException as e:  # per-slide isolation
-                            error = e
-                finally:
-                    if slide is not None:
-                        slide.close()
-                if on_result is not None:
-                    on_result(patient_id, slide_path, error,
-                              round(time.time() - t0, 3))
-                elif error is not None and state["first_error"] is None:
-                    state["first_error"] = error
-
-            def emitter():
-                while True:
-                    item = emit_q.get()
-                    if item is SENTINEL:
-                        return
-                    finish(*item)
-
-            et = threading.Thread(target=emitter, daemon=True)
-            et.start()
-            for slide_path, patient_id, t0, staged in items():
-                if isinstance(staged, BaseException):
-                    emit_q.put((None, slide_path, patient_id, t0, staged,
-                                None))
+                    staged = detect_job(slide_path, patient_id, t0)
+                except Exception as e:
+                    finish(None, slide_path, patient_id, t0, e, None)
                     continue
                 slide, merged, t_detect = staged
                 try:
                     canvas = self._segment(slide, patient_id, merged,
                                            json_dir, progress)
-                except BaseException as e:
-                    emit_q.put((slide, slide_path, patient_id, t0, e,
-                                None))
+                except Exception as e:
+                    finish(slide, slide_path, patient_id, t0, e, None)
                     continue
-                emit_q.put((slide, slide_path, patient_id, t0, None,
-                            (merged, canvas, t_detect)))
-            emit_q.put(SENTINEL)
-            et.join()
-            if state["first_error"] is not None:
+                finish(slide, slide_path, patient_id, t0, None,
+                       (merged, canvas, t_detect))
+            if on_result is None and state["first_error"] is not None:
                 raise state["first_error"]
             return state["ok"]
 
-        ok = 0
-        first_error = None
-        for slide_path, patient_id, t0, staged in items():
-            error = None
-            if isinstance(staged, BaseException):
-                error = staged
-            else:
-                slide, merged, t_detect = staged
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+        emit_q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def producer():
+            for slide_path, patient_id in jobs:
+                if stop.is_set():
+                    break
+                t0 = time.time()
                 try:
-                    self._segment_and_emit(
-                        slide, slide_path, patient_id, merged, output_dir,
-                        output_file_ext, json_dir, write_overlay, progress,
-                        t0, t_detect)
-                    ok += 1
+                    q.put((slide_path, patient_id, t0,
+                           detect_job(slide_path, patient_id, t0)))
                 except BaseException as e:
-                    error = e
-                finally:
-                    slide.close()
-            if on_result is not None:
-                on_result(patient_id, slide_path, error,
-                          round(time.time() - t0, 3))
-            elif error is not None and first_error is None:
-                first_error = error
-        if first_error is not None:
-            raise first_error
-        return ok
+                    # catching everything guarantees the sentinel below —
+                    # a dying producer would deadlock the consumer; the
+                    # consumer aborts on non-Exception items
+                    q.put((slide_path, patient_id, t0, e))
+                    if not isinstance(e, Exception):
+                        break
+            q.put(SENTINEL)
+
+        def emitter():
+            while True:
+                item = emit_q.get()
+                if item is SENTINEL:
+                    return
+                try:
+                    finish(*item)
+                except BaseException as e:
+                    # the emitter must never die mid-stream (the main
+                    # thread's one-deep put() would deadlock): record the
+                    # infrastructure failure and keep draining — finish()
+                    # closes each slide before its reporting step, so
+                    # later slides still close
+                    if state["emitter_error"] is None:
+                        state["emitter_error"] = e
+                    stop.set()
+
+        threading.Thread(target=producer, daemon=True).start()
+        et = threading.Thread(target=emitter, daemon=True)
+        et.start()
+        abort_error = None
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            slide_path, patient_id, t0, staged = item
+            if isinstance(staged, BaseException):
+                if not isinstance(staged, Exception):
+                    stop.set()
+                    abort_error = staged
+                    continue  # drain the producer to its sentinel
+                emit_q.put((None, slide_path, patient_id, t0, staged,
+                            None))
+                continue
+            slide, merged, t_detect = staged
+            if stop.is_set():
+                # stream stopping (first failure without a reporter, or
+                # an abort): drop staged work, but keep draining so the
+                # producer's put() never deadlocks
+                slide.close()
+                continue
+            try:
+                canvas = self._segment(slide, patient_id, merged,
+                                       json_dir, progress)
+            except Exception as e:
+                emit_q.put((slide, slide_path, patient_id, t0, e, None))
+                continue
+            except BaseException as e:
+                slide.close()
+                stop.set()
+                abort_error = e
+                continue
+            emit_q.put((slide, slide_path, patient_id, t0, None,
+                        (merged, canvas, t_detect)))
+        emit_q.put(SENTINEL)
+        et.join()
+        if abort_error is not None:
+            raise abort_error
+        if state["emitter_error"] is not None:
+            raise state["emitter_error"]
+        if on_result is None and state["first_error"] is not None:
+            raise state["first_error"]
+        return state["ok"]
 
     def _detect_and_merge(self, slide, slide_path: str,
                           patient_id: str) -> List[List[float]]:

@@ -195,9 +195,14 @@ def run_selftest(ndpi: Optional[str] = None, pb: Optional[str] = None,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     ran = []
+    # hand the slide to the pb check only when it actually exists — a
+    # missing --ndpi must degrade the pb check to its synthetic-window
+    # fallback, not fail it
+    ndpi_ok = bool(ndpi) and os.path.isfile(ndpi)
     for key, path, fn, kwargs in (
             ("ndpi", ndpi, check_ndpi, {}),
-            ("pb", pb, check_pb, {"slide_path": ndpi})):
+            ("pb", pb, check_pb,
+             {"slide_path": ndpi if ndpi_ok else None})):
         if not path:
             verdict[key] = {"skipped": "no artifact given "
                             f"(--{key} / GSEG_REAL_{key.upper()})"}
