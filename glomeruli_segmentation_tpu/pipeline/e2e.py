@@ -330,6 +330,12 @@ class FusedEndToEnd:
                     stop.set()
                     abort_error = staged
                     continue  # drain the producer to its sentinel
+                if stop.is_set():
+                    # stream stopping: nothing may be reported after the
+                    # stream starts dropping results (staged successes
+                    # are dropped below; dropping errors too keeps the
+                    # reporter's per-slide ordering intact)
+                    continue
                 emit_q.put((None, slide_path, patient_id, t0, staged,
                             None))
                 continue
@@ -500,6 +506,17 @@ class FusedEndToEnd:
             w, h = min(lw, w8), min(lh, h8)
             base[:h, :w] = slide.read_region_array(
                 (0, 0), level, (w, h))[:, :, ::-1]  # RGB->BGR
+            # scanners floor the level geometry while the /8 canvas
+            # ceils: any uncovered right/bottom edge (a few px) falls
+            # back to level-0 decimation instead of staying black
+            if w < w8:
+                edge = slide.read_region_array(
+                    (w * 8, 0), 0, ((w8 - w) * 8, h8 * 8))[::8, ::8, ::-1]
+                base[:, w:] = edge[:h8, :w8 - w]
+            if h < h8:
+                edge = slide.read_region_array(
+                    (0, h * 8), 0, (w8 * 8, (h8 - h) * 8))[::8, ::8, ::-1]
+                base[h:, :] = edge[:h8 - h, :w8]
         else:
             strip = 2048  # level-0 rows per read
             for y0 in range(0, h8 * 8, strip):

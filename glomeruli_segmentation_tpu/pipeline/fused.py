@@ -100,10 +100,10 @@ class EnsembleSegmenter:
             # to the sequential fold loop (parallel/fold_parallel.py).
             # The only axis that cuts the ~60 ms/fold latency-bound fixed
             # cost at production batch sizes (BASELINE.md round-3 profile).
-            if mesh is None or "fold" not in mesh.axis_names:
+            if mesh is None or not {"fold", "data"} <= set(mesh.axis_names):
                 raise ValueError(
-                    "engine='fold_parallel' needs a mesh with a 'fold' "
-                    "axis (parallel.mesh.make_fold_mesh)")
+                    "engine='fold_parallel' needs a mesh with 'fold' and "
+                    "'data' axes (parallel.mesh.make_fold_mesh)")
         self.engine = engine
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
