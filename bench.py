@@ -13,6 +13,14 @@ with nothing to parse):
 - the headline line is printed + flushed IMMEDIATELY after the headline
   measurement, so a driver timeout at any later point still leaves a
   parseable record in the output tail;
+- (round 5) each e2e stage is timed as a MEDIAN OF 3 short reps with
+  {median, best, spread} recorded, and ``extra.channel_health`` carries
+  an in-process dispatch-floor + h2d-bandwidth probe — the round-4
+  driver artifact timed single reps and under-reported e2e ~1.7x on a
+  degraded tunnel minute with nothing in the record to show it;
+- (round 5) the ~1 Gpx sustained tier appears every round as
+  ``extra.sustained_1gpx`` (compact scaled probe, final superseding
+  line); the direct measure stays opt-in via ``GSEG_BENCH_LARGE=1``;
 - a second, superseding line with the e2e extras follows if the wall-clock
   budget allows (``GSEG_BENCH_BUDGET_S``, default 480 s); sub-benches that
   would exceed the budget are skipped with explicit markers;
@@ -52,7 +60,12 @@ REFERENCE_E2E_SEC_PER_SLIDE = 112.89
 REFERENCE_DETECTION_WINDOWS_PER_SEC = 0.095
 
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get("GSEG_BENCH_BUDGET_S", "480"))
+# 540 (was 480 in r4): on a degraded-tunnel day the pre-sustained stages
+# alone reach ~500 s wall.  Raising the budget is low-risk because every
+# emitted line is a COMPLETE record — a driver timeout can only cost the
+# last superseding line, never the parseable result (the driver reads
+# the output tail).
+_BUDGET_S = float(os.environ.get("GSEG_BENCH_BUDGET_S", "540"))
 FULL = os.environ.get("GSEG_BENCH_FULL", "") not in ("", "0")
 
 
@@ -146,6 +159,53 @@ def bench_torch_reference() -> float | None:
     return iters / dt
 
 
+def _slide_fixture():
+    """Build (once, /tmp-cached) the synthetic bench slide."""
+    import numpy as np
+
+    import bench_e2e
+
+    tmp = os.path.join("/tmp", "gseg_bench_slide.tiff")
+    centers_file = tmp + ".centers.npy"
+    if not os.path.isfile(tmp) or not os.path.isfile(centers_file):
+        centers = bench_e2e.make_slide(tmp)
+        np.save(centers_file, np.asarray(centers))
+    return tmp, np.load(centers_file)
+
+
+def bench_sustained_extra(det: dict | None) -> dict:
+    """The ~1 Gpx sustained-tier probe, run LAST behind its own emit:
+    its first-ever run may pay fresh remote-AOT compiles for the
+    300-1000 px shape buckets, and the main e2e record must already be
+    on stdout before that risk is taken."""
+    import bench_e2e
+
+    import numpy as np
+
+    tmp, centers = _slide_fixture()
+    # prefer the cached 1 Gpx slide (bench_e2e.py --large builds it once
+    # under /tmp): crop reads then pay the real large-slide decode cost
+    # instead of the toy slide's
+    dims = (bench_e2e.SLIDE_W, bench_e2e.SLIDE_H)
+    large = os.path.join("/tmp", "gseg_bench_slide_large.tiff")
+    if os.path.isfile(large) and os.path.isfile(large + ".centers.npy"):
+        tmp = large
+        centers = np.load(large + ".centers.npy")
+        n = bench_e2e.LARGE_REGION * bench_e2e.LARGE_GRID
+        dims = (n, n)
+    # 60 s gate: the probe reuses the fused bench's warmed segmenter
+    # (bench_e2e._FUSED_CACHE) so its cost is the new shape buckets only
+    # (compile-cached across rounds) + 3 short reps
+    if _remaining() > 60:
+        try:
+            return bench_e2e.bench_sustained_compact(tmp, centers,
+                                                     detection=det,
+                                                     slide_dims=dims)
+        except Exception as e:
+            return {"error": repr(e)}
+    return {"skipped": "budget"}
+
+
 def bench_e2e_extra() -> dict:
     """Whole-slide numbers (bench_e2e.py stages) folded into the bench
     artifact: sec/slide + slides/hour vs the measured torch-CPU reference
@@ -158,14 +218,7 @@ def bench_e2e_extra() -> dict:
     are generous."""
     import bench_e2e
 
-    tmp = os.path.join("/tmp", "gseg_bench_slide.tiff")
-    centers_file = tmp + ".centers.npy"
-    import numpy as np
-
-    if not os.path.isfile(tmp) or not os.path.isfile(centers_file):
-        centers = bench_e2e.make_slide(tmp)
-        np.save(centers_file, np.asarray(centers))
-    centers = np.load(centers_file)
+    tmp, centers = _slide_fixture()
     # each sub-bench is independently guarded: a failure in one stage
     # must not blank the others' numbers in the driver artifact
     if _remaining() > (120 if not FULL else 180):
@@ -189,13 +242,23 @@ def bench_e2e_extra() -> dict:
             sf = {}
     else:
         sf = {"skipped": "budget"}
+    # channel health (VERDICT r4 weak 1): lets a reader distinguish
+    # "regression" from "bad tunnel minute" in the driver artifact
+    try:
+        health = bench_e2e.channel_health()
+    except Exception as e:
+        health = {"error": repr(e)}
     extra = {
         "detection_windows_per_sec": det.get("windows_per_sec"),
         "detection_sec_per_slide": det.get("sec_per_slide"),
+        "detection_sec_stats": det.get("sec_per_slide_stats"),
         "fused_5fold_sec_per_slide": seg.get("sec_per_slide"),
+        "fused_5fold_sec_stats": seg.get("sec_per_slide_stats"),
         "fused_5fold_crops_per_sec": seg.get("crops_per_sec"),
         "fused_engine": seg.get("engine"),
         "segformer_crops_per_sec": sf.get("crops_per_sec"),
+        "channel_health": health,
+        "_detection_record": det,  # consumed by bench_sustained_extra
     }
     if FULL:
         extra["detection_breakdown"] = det.get("breakdown")
@@ -290,16 +353,29 @@ def main():
             extra["live_torch_crops_per_sec"] = round(live, 3)
             extra["vs_live_torch"] = round(ours / live, 3)
     if os.environ.get("GSEG_BENCH_LARGE", "") not in ("", "0"):
-        # ~1 Gpx sustained tier: explicit opt-in only (slide build ~3 min
-        # one-time + cold program compiles through the remote AOT service)
+        # ~1 Gpx sustained tier, measured directly: explicit opt-in only
+        # (slide build ~3 min one-time + cold program compiles through
+        # the remote AOT service)
         import bench_e2e
 
         try:
             extra["large_slide"] = bench_e2e.run_large()
         except Exception as e:
             extra["large_slide"] = {"error": repr(e)}
+    det_rec = extra.pop("_detection_record", None)
     extra["wall_s"] = round(time.monotonic() - _T0, 1)
-    # the final line supersedes the early one (same headline numbers)
+    # supersedes the early headline line (same headline numbers)
+    _emit(dict(record, extra=extra))
+    # sustained ~1 Gpx tier, scaled from a compact probe (VERDICT r4
+    # weak 6: the 33x-tier number must appear in the per-round record).
+    # Emitted as a FINAL superseding line: its first-ever run may pay
+    # fresh shape-bucket compiles, and the record above must already be
+    # parseable if that runs long.
+    try:
+        extra["sustained_1gpx"] = bench_sustained_extra(det_rec)
+    except Exception as e:
+        extra["sustained_1gpx"] = {"error": repr(e)}
+    extra["wall_s"] = round(time.monotonic() - _T0, 1)
     _emit(dict(record, extra=extra))
 
 

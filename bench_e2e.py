@@ -37,6 +37,59 @@ def make_slide(path: str):
     return centers
 
 
+def _rep_stats(times) -> dict:
+    """Median/best/spread over short reps (VERDICT r4 weak 1: a single
+    rep inherits whatever the degraded tunnel did in that second; the
+    official artifact must be able to show the jitter it absorbed)."""
+    times = sorted(times)
+    med = times[len(times) // 2] if len(times) % 2 else (
+        times[len(times) // 2 - 1] + times[len(times) // 2]) / 2
+    return {"median": round(med, 3), "best": round(times[0], 3),
+            "spread": round(times[-1] - times[0], 3), "reps": len(times)}
+
+
+def channel_health() -> dict:
+    """In-process tunnel-health probe: dispatch-floor ms on a trivial
+    program and post-exec h2d MB/s on a ~30 MB staging buffer.  Lets a
+    reader of the driver artifact see "channel degraded" at a glance
+    (healthy on this host: floor ~27 ms, h2d ~100+ MB/s; a degraded
+    tunnel multiplies both).  Timing forces a host read per iteration
+    (block_until_ready can no-op on axon — CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    incr = jax.jit(lambda a: a + 1)
+    small = jax.device_put(np.zeros((8, 128), np.float32))
+    float(np.asarray(incr(small))[0, 0])  # warm the program
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(incr(small))[0, 0])
+        reps.append(time.perf_counter() - t0)
+    floor_ms = sorted(reps)[len(reps) // 2] * 1e3
+
+    # h2d: time (put + reduce-read) minus the resident reduce-read —
+    # block_until_ready alone is not a trustworthy fence here.  16 MB:
+    # big enough to sit in the post-exec bulk regime, small enough that
+    # a degraded (~7 MB/s) tunnel costs ~2 s, not ~9
+    nbytes = 16 * 1024 * 1024
+    buf = np.random.RandomState(0).randint(
+        0, 255, (nbytes,), dtype=np.uint8)
+    total = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
+    dev = jax.device_put(buf)
+    int(total(dev))  # warm
+    t0 = time.perf_counter()
+    int(total(jax.device_put(buf)))
+    t_put_read = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    int(total(dev))
+    t_read = time.perf_counter() - t0
+    h2d_s = max(t_put_read - t_read, 1e-6)
+    return {"dispatch_floor_ms": round(floor_ms, 1),
+            "h2d_mb_per_s": round(nbytes / 1e6 / h2d_s, 1),
+            "h2d_probe_mb": round(nbytes / 1e6, 1)}
+
+
 LARGE_REGION = 4608
 LARGE_GRID = 7  # 7x7 regions -> 32256^2 = 1.04 Gpx
 
@@ -196,12 +249,16 @@ def bench_detection(slide_path: str, full: bool = True) -> dict:
                         os.path.basename(slide_path), output_file=None)
         return det
 
-    # first scan warms the actual window geometry's compile
+    # first scan warms the actual window geometry's compile; then median
+    # of 3 short reps so one bad tunnel second cannot set the record
     det = run_scan()
-    n_windows = None
-    t0 = time.perf_counter()
-    det = run_scan()
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        det = run_scan()
+        times.append(time.perf_counter() - t0)
+    stats = _rep_stats(times)
+    dt = stats["median"]
     (wx_org, wy_org, x_split, y_split,
      wx_px, wy_px) = det.calc_window_size()
     n_windows = x_split * y_split
@@ -209,7 +266,8 @@ def bench_detection(slide_path: str, full: bool = True) -> dict:
     result = {
         "metric": "detection_scan",
         "windows": n_windows,
-        "sec_per_slide": round(dt, 3),
+        "sec_per_slide": dt,
+        "sec_per_slide_stats": stats,
         "windows_per_sec": round(n_windows / dt, 2),
     }
     if not full:
@@ -277,6 +335,7 @@ def bench_fused_segmentation(slide_path: str, centers,
     ensemble = EnsembleSegmenter(EnsembleConfig(
         checkpoints=ckpts, folds=folds, batch_size=N_CROPS), engine="auto")
     fused = FusedSlideSegmenter(ensemble)
+    _FUSED_CACHE[N_CROPS] = fused  # reused by bench_sustained_compact
     slide = open_slide(slide_path)
     rng = np.random.RandomState(0)
     detections = []
@@ -291,17 +350,24 @@ def bench_fused_segmentation(slide_path: str, centers,
     # warm the EXACT timed program: with the flat transfer the buffer
     # length (quantized to eighths of the padded bytes) is a shape axis,
     # so a partial-batch warmup would leave the timed run a fresh
-    # multi-minute remote-AOT compile
+    # multi-minute remote-AOT compile.  Then median of 3 short reps —
+    # the round-4 driver artifact timed ONE rep and inherited a degraded
+    # tunnel second, under-reporting e2e ~1.7x (VERDICT r4 weak 1).
     fused.segment_slide(slide, detections)
-    t0 = time.perf_counter()
-    canvas = fused.segment_slide(slide, detections)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        canvas = fused.segment_slide(slide, detections)
+        times.append(time.perf_counter() - t0)
+    stats = _rep_stats(times)
+    dt = stats["median"]
 
     result = {
         "metric": "fused_5fold_segmentation",
         "engine": ensemble.engine,  # what "auto" resolved to at this batch
         "crops": len(detections),
-        "sec_per_slide": round(dt, 3),
+        "sec_per_slide": dt,
+        "sec_per_slide_stats": stats,
         "crops_per_sec": round(len(detections) / dt, 2),
         "canvas_foreground_px": int((canvas > 0).sum()),
     }
@@ -432,6 +498,97 @@ def _fused_breakdown(ensemble, slide, detections) -> dict:
         "exec_d2h_resized_s": round(t_exec_d2h_resized, 3),
         "_note": "serial stage costs for one batch; production overlaps "
                  "read/stage with device exec (one-deep pipeline)",
+    }
+
+
+LARGE_CROPS = 343       # measured large-tier geometry (BASELINE.md r4)
+LARGE_WINDOWS = 16
+
+# bench_fused_segmentation parks its segmenter here (keyed by batch size)
+# so the sustained probe reuses the warmed instance instead of paying the
+# multi-minute per-instance program deserialization again
+_FUSED_CACHE: dict = {}
+
+
+def bench_sustained_compact(slide_path: str, centers,
+                            detection: dict | None = None,
+                            n_batches: int = 2,
+                            batch_size: int = 48,
+                            slide_dims: tuple = (SLIDE_W, SLIDE_H)) -> dict:
+    """Compact per-round probe of the ~1 Gpx sustained tier (VERDICT r4
+    weak 6: the 33x-tier number lived only in BASELINE.md).  Runs the
+    production fused path over ``n_batches`` crop batches whose ragged
+    sizes reproduce the large tier's distribution (300-1000 px, fixed
+    seed -> identical shape buckets and warm compile-cache hits every
+    round), then scales per-crop cost to the measured large-tier
+    geometry (343 crops + 16 detection windows).  The direct measure is
+    ``GSEG_BENCH_LARGE=1``; round-4 direct vs this scaling agrees within
+    the tunnel jitter band."""
+    from glomeruli_segmentation_tpu.pipeline.fused import (
+        EnsembleConfig,
+        EnsembleSegmenter,
+        FusedSlideSegmenter,
+    )
+    from glomeruli_segmentation_tpu.wsi import open_slide
+
+    models_dir = "/root/reference/models"
+    if not os.path.isdir(models_dir):
+        return {"metric": "sustained_compact", "skipped": "no checkpoints"}
+    # reuse the fused bench's segmenter when it exists: a second
+    # EnsembleSegmenter re-jits its programs, and the per-process
+    # compile-cache deserialization for the big ensemble programs costs
+    # minutes on this host (CLAUDE.md) — the probe only adds shape
+    # buckets to the SAME instance's caches
+    fused = _FUSED_CACHE.get(batch_size)
+    if fused is None:
+        ckpts = [os.path.join(models_dir, f"espnet_fold{k}.pth")
+                 for k in range(1, 6)]
+        ensemble = EnsembleSegmenter(EnsembleConfig(
+            checkpoints=ckpts, batch_size=batch_size), engine="auto")
+        fused = FusedSlideSegmenter(ensemble)
+    n_crops = n_batches * batch_size
+    sw, sh = slide_dims
+    rng = np.random.RandomState(1234)
+    center_list = [tuple(c) for c in np.asarray(centers).tolist()]
+    reps_needed = -(-n_crops // max(len(center_list), 1))
+    detections = []
+    for cx, cy, r in (center_list * reps_needed)[:n_crops]:
+        size = int(rng.uniform(300, 1000))
+        x1 = int(np.clip(cx - size // 2, 0, sw - size))
+        y1 = int(np.clip(cy - size // 2, 0, sh - size))
+        detections.append([x1, y1, x1 + size, y1 + size, 0.95])
+
+    with open_slide(slide_path) as slide:
+        fused.segment_slide(slide, detections)  # warm all shape buckets
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fused.segment_slide(slide, detections)
+            times.append(time.perf_counter() - t0)
+    stats = _rep_stats(times)
+    seg_est = stats["median"] / n_crops * LARGE_CROPS
+    if detection and detection.get("windows_per_sec"):
+        det_est = LARGE_WINDOWS / detection["windows_per_sec"]
+    else:
+        det_est = LARGE_WINDOWS / 28.0  # committed r4 rate (BASELINE.md)
+    e2e_est = det_est + seg_est
+    # composed reference denominator for the large tier (BASELINE.md r4):
+    # 343 crops x 5 folds x 0.295 s/crop/fold + 16 windows / 0.095 w/s
+    ref = LARGE_CROPS * 5 * 0.295 + LARGE_WINDOWS / 0.095
+    return {
+        "metric": "sustained_1gpx_scaled",
+        "probe_crops": n_crops,
+        "probe_slide": os.path.basename(slide_path),
+        "probe_sec_stats": stats,
+        "crops_per_sec_sustained": round(n_crops / stats["median"], 2),
+        "est_sec_per_slide": round(e2e_est, 2),
+        "est_slides_per_hour": round(3600.0 / e2e_est, 1),
+        "vs_reference_cpu": round(ref / e2e_est, 1),
+        "_note": "scaled per-crop cost from an n_batches probe to the "
+                 "measured 1 Gpx geometry (343 crops + 16 windows); runs "
+                 "on the cached 1 Gpx slide itself when present so crop "
+                 "reads pay the real decode cost; direct full measure "
+                 "via GSEG_BENCH_LARGE=1",
     }
 
 
