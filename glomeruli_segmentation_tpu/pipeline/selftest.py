@@ -189,6 +189,161 @@ def check_pb(path: str, slide_path: Optional[str] = None,
     return result
 
 
+REAL_GT_DATA_DIR = "/root/reference/example/data"
+
+
+def check_real_gt_recall(slide_path: str, pb_path: Optional[str] = None,
+                         data_dir: str = REAL_GT_DATA_DIR,
+                         staining: str = "OPT_PAS",
+                         patient: str = "PAS-001",
+                         window_um: int = 2000,
+                         overlap_ratio: float = 0.1,
+                         detect_conf: float = 0.2,
+                         merge_conf: float = 0.9,
+                         merge_overlap: float = 0.35,
+                         iou_threshold: float = 0.01) -> dict:
+    """Full detect->merge chain on the real slide, scored against the real
+    hand-annotated GT XML (the one piece of real data the mirror ships:
+    ``example/data/02_PAS/PAS-001/annotations/OPT_PAS_PAS-001_pw40_ds8.xml``,
+    28 glomerulus boxes).
+
+    Recall semantics follow ``make_seg_data.py:107-111,184-204``: a GT box
+    counts as hit when at least one merged detection overlaps it with
+    rectangle IoU >= ``iou_threshold`` (default 0.01, the reference CLI
+    default); GT boxes are annotated at ds-8 and scale x8 to level 0
+    (``make_seg_data.py:166``).  Operating point defaults are the
+    example's (``example/README.md:34-49``): 2000 um windows, overlap
+    0.1, detect conf 0.2; merge conf 0.9, overlap 0.35.
+
+    Needs the published frozen graph for meaningful numbers — without
+    ``pb_path`` the check is skipped (a randomly initialized detector
+    scores noise, not parity)."""
+    import glob
+    import re
+
+    from ..utils.annotation import (ANNOTATION_FILE_PATTERN,
+                                    AnnotationHandler, rect_iou)
+    from ..utils.glomus_handler import GlomusHandler
+
+    result: dict = {"slide": slide_path, "ok": False}
+    ann_dir = os.path.join(data_dir, GlomusHandler.get_staining_type(staining),
+                           patient, "annotations")
+    pattern = re.compile(ANNOTATION_FILE_PATTERN, re.IGNORECASE)
+    xmls = [f for f in sorted(glob.glob(os.path.join(ann_dir, "*.xml")))
+            if os.path.basename(f).startswith(staining)
+            and pattern.findall(os.path.splitext(os.path.basename(f))[0])]
+    if not xmls:
+        return {"skipped": f"no {staining} GT XML under {ann_dir}"}
+    xml_path = xmls[0]
+    body = os.path.splitext(os.path.basename(xml_path))[0]
+    times = int(pattern.findall(body)[0][2])  # ds group -> level-0 scale
+    handler = AnnotationHandler.__new__(AnnotationHandler)
+    handler.gt_list, handler.gt_name_list = [], []
+    handler.read_annotation(os.path.dirname(xml_path),
+                            os.path.basename(xml_path))
+    gt_boxes = [[v * times for v in gt] for gt, name
+                in zip(handler.gt_list, handler.gt_name_list)
+                if name in ("glomerulus", "glomerulus-kana")]
+    result["gt_xml"] = xml_path
+    result["gt_boxes"] = len(gt_boxes)
+
+    if not pb_path:
+        return {"skipped": "recall needs the published frozen graph "
+                           "(--pb / GSEG_REAL_PB); random weights would "
+                           "score noise", "gt_xml": xml_path,
+                "gt_boxes": len(gt_boxes)}
+
+    # the GT is for one specific slide: only score a slide whose level-0
+    # geometry matches the annotated canvas (size x ds) — scoring an
+    # unrelated slide against PAS-001's boxes would report a meaningless
+    # failure
+    import xml.etree.ElementTree as ElementTree
+
+    size = ElementTree.parse(xml_path).find("size")
+    want = (int(size.find("width").text) * times,
+            int(size.find("height").text) * times)
+    from .. import wsi as _wsi
+
+    with _wsi.open_slide(slide_path) as slide:
+        have = tuple(slide.dimensions)
+    if any(abs(h - w) > 0.01 * w for h, w in zip(have, want)):
+        return {"skipped": f"slide geometry {have} does not match the GT "
+                           f"canvas {want} (annotated size x ds{times}) — "
+                           "not the annotated slide",
+                "gt_xml": xml_path, "gt_boxes": len(gt_boxes),
+                "slide_dimensions": list(have)}
+
+    import tempfile
+
+    from .. import wsi as _wsi
+    from ..convert.pb_import import load_frozen_graph_constants
+    from ..pipeline.detect import ODAPIDetectorBackend
+    from ..pipeline.merge import BoxMerger
+    from .e2e import _CollectingDetector
+
+    t0 = time.perf_counter()
+    backend = ODAPIDetectorBackend(
+        consts=load_frozen_graph_constants(pb_path), batch_size=4)
+    with _wsi.open_slide(slide_path) as slide:
+        mpp_x = float(slide.properties[_wsi.PROPERTY_NAME_MPP_X])
+        mpp_y = float(slide.properties[_wsi.PROPERTY_NAME_MPP_Y])
+        det = _CollectingDetector(
+            staining, target_list="",
+            data_dir=os.path.dirname(slide_path),
+            output_dir=tempfile.mkdtemp(prefix="gseg_selftest_"),
+            output_file_ext="_selftest", window_size=window_um,
+            overlap_ratio=overlap_ratio, conf_threshold=detect_conf,
+            batch_size=backend.batch_size)
+        det.org_slide_width, det.org_slide_height = slide.dimensions
+        det.mpp_x, det.mpp_y = mpp_x, mpp_y
+        det.org_slide_objective_power = int(float(
+            slide.properties[_wsi.PROPERTY_NAME_OBJECTIVE_POWER]))
+        det.scan_region(backend, slide, "", patient,
+                        os.path.basename(slide_path), output_file=None)
+        detections = det.collected
+    candidates = []
+    for x1, y1, x2, y2, conf in detections:
+        if conf >= merge_conf:
+            candidates.append([x1, y1, x2, y2, conf,
+                               (x2 - x1) * (y2 - y1), 0.0])
+    merged = BoxMerger(merge_overlap).merge_all(candidates, mpp_x, mpp_y)
+    result["detect_merge_s"] = round(time.perf_counter() - t0, 3)
+    result["raw_detections"] = len(detections)
+    result["merged_detections"] = len(merged)
+
+    hits = 0
+    max_ious = []
+    matched_det = set()
+    for gt in gt_boxes:
+        best = 0.0
+        for ind, det in enumerate(merged):
+            iou = rect_iou(gt, det)
+            if iou >= iou_threshold:
+                matched_det.add(ind)
+            best = max(best, iou)
+        max_ious.append(round(best, 4))
+        if best >= iou_threshold:
+            hits += 1
+    recall = hits / len(gt_boxes) if gt_boxes else 0.0
+    precision = (len(matched_det) / len(merged)) if merged else 0.0
+    result.update({
+        "recall_hit_num": hits,
+        "recall": round(recall, 4),
+        "precision": round(precision, 4),
+        "gt_max_iou": max_ious,
+        "iou_threshold": iou_threshold,
+        "operating_point": {
+            "window_um": window_um, "overlap_ratio": overlap_ratio,
+            "detect_conf": detect_conf, "merge_conf": merge_conf,
+            "merge_overlap": merge_overlap},
+        # the published pipeline is a research-grade detector; anything
+        # under half the GT found means an import/geometry fault, not
+        # model noise
+        "ok": recall >= 0.5,
+    })
+    return result
+
+
 def run_selftest(ndpi: Optional[str] = None, pb: Optional[str] = None,
                  out: Optional[str] = None) -> dict:
     verdict: dict = {
@@ -216,6 +371,18 @@ def run_selftest(ndpi: Optional[str] = None, pb: Optional[str] = None,
             verdict[key] = {"path": path, "ok": False, "error": repr(e),
                             "traceback": traceback.format_exc()}
         ran.append(key)
+    # full-chain recall vs the real GT XML (VERDICT r4: stop at decode
+    # checks no longer — score detect->merge against the 28 real boxes)
+    if ndpi_ok:
+        try:
+            rec = check_real_gt_recall(
+                ndpi, pb_path=pb if (pb and os.path.isfile(pb)) else None)
+        except Exception as e:
+            rec = {"ok": False, "error": repr(e),
+                   "traceback": traceback.format_exc()}
+        verdict["recall_vs_real_gt"] = rec
+        if "skipped" not in rec:
+            ran.append("recall_vs_real_gt")
     verdict["checks_run"] = ran
     verdict["ok"] = all(verdict[k].get("ok") for k in ran) if ran else True
     if out:
