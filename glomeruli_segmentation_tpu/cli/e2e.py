@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "fold-scan above")
     parser.add_argument("--precision", default="default",
                         choices=["default", "high", "highest"])
+    parser.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                        help="'auto' (default): on a multi-device host "
+                             "with no explicit --fold_parallel/"
+                             "--data_parallel, resolve the fold x data "
+                             "mesh from the device count and fold count "
+                             "(fold axis first — the measured multi-chip "
+                             "lever, BASELINE.md round-4 profile) and "
+                             "data-shard the detector's window batches; "
+                             "single-device hosts are unaffected.  'off': "
+                             "never auto-shard; only explicit flags build "
+                             "a mesh")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="shard detection windows and crop batches over "
                              "an N-device mesh (0 = off, -1 = all devices)")
@@ -129,6 +140,55 @@ def build_parser() -> argparse.ArgumentParser:
                              "append to the merged CSV instead of starting "
                              "fresh")
     return parser
+
+
+def resolve_mesh_policy(args) -> None:
+    """``--mesh auto`` (default): fill in ``args.fold_parallel`` /
+    ``args.data_parallel`` from the device + fold count when the operator
+    set neither — on an 8-chip host ``gseg-e2e``/``gseg-serve`` then use
+    the measured fold x data layout with zero operator knowledge
+    (``parallel/mesh.py::resolve_auto_mesh``; VERDICT r4 weak 5).
+    Explicit flags always win; single-device hosts resolve to no mesh;
+    the SegFormer path keeps its explicit-flag contract (the fold axis
+    is an ensemble concept).  Call BEFORE ``load_backend`` so the
+    detector's window data-parallelism resolves too.  Mutates ``args``."""
+    if getattr(args, "mesh", "off") != "auto":
+        return
+    if args.fold_parallel or args.data_parallel:
+        return  # operator picked a layout
+    if args.engine != "auto":
+        return  # an explicit engine pins its own (single-device) path
+    if args.segformer_checkpoint:
+        return
+    import jax
+
+    from ..parallel.mesh import auto_data_parallel, resolve_auto_mesh
+
+    n = len(jax.devices())
+    fold, data = resolve_auto_mesh(len(args.folds), args.seg_batch_size,
+                                   n_devices=n)
+    if fold:
+        args.fold_parallel = fold
+        args.data_parallel = data if data > 1 else 0
+        print(f"--mesh auto: {n} devices -> fold x data = {fold} x "
+              f"{max(data, 1)} (override with --fold_parallel/"
+              f"--data_parallel, disable with --mesh off)")
+    elif data > 1:
+        # single fold: pure data parallelism
+        args.data_parallel = data
+        print(f"--mesh auto: {n} devices -> data parallel x {data}")
+    # the detector's window batches ride their own pure data mesh, sized
+    # to divide ITS batch (the seg data axis divides the seg batch and
+    # may not divide the detect batch)
+    det_dp = auto_data_parallel(args.batch_size, n_devices=n)
+    if det_dp:
+        args.detector_data_parallel = det_dp
+
+
+def detector_data_parallel(args) -> int:
+    """The detector's data-axis size: the shared --data_parallel flag,
+    unless --mesh auto resolved a detector-specific one."""
+    return getattr(args, "detector_data_parallel", 0) or args.data_parallel
 
 
 def resolve_slide_pipeline(args) -> bool:
@@ -247,6 +307,7 @@ def main(argv=None):
     from .detect import load_backend
     from ..pipeline.e2e import FusedEndToEnd
 
+    resolve_mesh_policy(args)
     backend = load_backend(
         args.model, args.model_name, args.batch_size,
         od_api_overrides={"min_dimension": args.min_dimension,
@@ -254,7 +315,7 @@ def main(argv=None):
                           "max_proposals": args.max_proposals,
                           "device_resize": args.device_resize,
                           "compat_tf1_resize": not args.cv2_resize},
-        data_parallel=args.data_parallel)
+        data_parallel=detector_data_parallel(args))
     pipe = build_pipeline(args, backend)
 
     staining_dir = GlomusHandler.get_staining_type(args.data_category)

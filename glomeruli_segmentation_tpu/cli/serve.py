@@ -58,8 +58,10 @@ def main(argv=None):
 
     from ..pipeline.serve import SlideServer
     from .detect import load_backend
-    from .e2e import build_pipeline, resolve_slide_pipeline
+    from .e2e import (build_pipeline, detector_data_parallel,
+                      resolve_mesh_policy, resolve_slide_pipeline)
 
+    resolve_mesh_policy(args)
     backend = load_backend(
         args.model, args.model_name, args.batch_size,
         od_api_overrides={"min_dimension": args.min_dimension,
@@ -67,7 +69,7 @@ def main(argv=None):
                           "max_proposals": args.max_proposals,
                           "device_resize": args.device_resize,
                           "compat_tf1_resize": not args.cv2_resize},
-        data_parallel=args.data_parallel)
+        data_parallel=detector_data_parallel(args))
     # shared with gseg-e2e: either the 5-fold ESPNet ensemble or the
     # SegFormer/GTCS family (--segformer_checkpoint)
     pipe = build_pipeline(args, backend)
