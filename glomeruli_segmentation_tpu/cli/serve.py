@@ -48,10 +48,50 @@ def build_parser() -> argparse.ArgumentParser:
                         help="claim namespace for shared-spool "
                              "multi-server scale-out (default: hostname; "
                              "set when running several servers per host)")
+    parser.add_argument("--recycle_rss_mb", type=int, default=None,
+                        help="bounded-memory residency: when host RSS "
+                             "exceeds this between waves, the server "
+                             "re-execs itself with the same arguments "
+                             "(spool claims, completed-slide resume and "
+                             "the on-disk compile cache make the restart "
+                             "seamless).  Guards against host-side "
+                             "growth outside the server's control, e.g. "
+                             "a backend client that leaks transfer "
+                             "staging buffers")
     return parser
 
 
+def _reexec(argv) -> None:  # pragma: no cover - replaces the process
+    """Replace the process with a fresh gseg-serve run (same argv)."""
+    import sys
+
+    os.execv(sys.executable,
+             [sys.executable, "-m", "glomeruli_segmentation_tpu.cli.serve"]
+             + list(argv))
+
+
+def _argv_with_max_slides(argv, remaining: int):
+    """Rewrite --max_slides so a bounded run stays bounded across
+    recycle restarts (the restarted process gets the REMAINING count)."""
+    out = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--max_slides":
+            skip = True
+            continue
+        if a.startswith("--max_slides="):
+            continue
+        out.append(a)
+    return out + ["--max_slides", str(remaining)]
+
+
 def main(argv=None):
+    import sys
+
+    raw_argv = list(sys.argv[1:] if argv is None else argv)
     args = build_parser().parse_args(argv)
     # --target_list/--data_dir are e2e-only; the spool supplies the work
     args.target_list = args.data_dir = None
@@ -82,9 +122,18 @@ def main(argv=None):
                          poll_interval=args.poll_interval,
                          stop_file=args.stop_file,
                          server_id=args.server_id,
-                         pipeline=resolve_slide_pipeline(args))
+                         pipeline=resolve_slide_pipeline(args),
+                         recycle_rss_mb=args.recycle_rss_mb)
     n = server.serve(max_slides=args.max_slides)
     print(f"served {n} ticket(s)")
+    if server.recycle_requested:
+        # bounded-memory residency: restart with identical argv; the
+        # spool lifecycle, completed-slide resume and the on-disk
+        # compile cache make the hand-off seamless
+        if args.max_slides is None:
+            _reexec(raw_argv)
+        elif args.max_slides - n > 0:
+            _reexec(_argv_with_max_slides(raw_argv, args.max_slides - n))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,17 @@ from typing import List, Optional
 from .e2e import FusedEndToEnd
 
 
+def _rss_kb() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return 0
+
+
 class SlideServer:
     """Watch a spool directory and run each ticket through a resident
     :class:`~glomeruli_segmentation_tpu.pipeline.e2e.FusedEndToEnd`."""
@@ -59,12 +70,26 @@ class SlideServer:
                  poll_interval: float = 2.0,
                  stop_file: Optional[str] = None,
                  server_id: Optional[str] = None,
-                 pipeline: bool = True, wave_size: int = 4):
+                 pipeline: bool = True, wave_size: int = 4,
+                 recycle_rss_mb: Optional[int] = None):
         """``pipeline``: overlap ticket N+1's detection scan with ticket
         N's segmentation (``FusedEndToEnd.run_slides``).  Tickets are
         claimed in waves of up to ``wave_size`` so the STOP file and
         ``max_slides`` are honored between waves; a crash mid-wave leaves
-        the unprocessed claims in ``active/`` for startup recovery."""
+        the unprocessed claims in ``active/`` for startup recovery.
+
+        ``recycle_rss_mb``: bounded-memory residency — when host RSS
+        exceeds this between waves/tickets, :meth:`serve` returns early
+        with :attr:`recycle_requested` set so the caller can restart the
+        process cleanly (``gseg-serve`` re-execs itself with the same
+        argv).  Everything needed for a seamless restart is already
+        durable: completedness is re-learned from the timing log, stale
+        claims recover on startup, and the on-disk compile cache bounds
+        the warm-up cost.  Motivation: classic resident-server process
+        recycling, and concretely this dev tunnel's axon client, which
+        leaks every h2d staging buffer (~12.5 MB per transfer, measured
+        — BASELINE.md round-5 residency section), making long runs grow
+        without bound through no fault of the server."""
         import socket
 
         # stable per-server-slot identity: a restart recovers its own
@@ -89,6 +114,8 @@ class SlideServer:
         for d in (spool_dir, self.active_dir, self.done_dir,
                   self.failed_dir, output_dir):
             os.makedirs(d, exist_ok=True)
+        self.recycle_rss_mb = recycle_rss_mb
+        self.recycle_requested = False
         self.log_path = os.path.join(output_dir, "serve_log.jsonl")
         # accumulate across restarts: resume semantics give us the set of
         # slides whose artifacts are already complete (SURVEY.md §5.3)
@@ -287,14 +314,32 @@ class SlideServer:
 
     # -- main loop -------------------------------------------------------
 
+    def _needs_recycle(self) -> bool:
+        """Between waves/tickets: request a clean process restart when
+        host RSS crosses the configured bound (no in-flight work at the
+        check points, so the restart is always crash-safe-by-design)."""
+        if self.recycle_rss_mb is None or self.recycle_requested:
+            return self.recycle_requested
+        if _rss_kb() / 1024.0 > self.recycle_rss_mb:
+            print(f"RSS above {self.recycle_rss_mb} MB; requesting "
+                  "process recycle")
+            self.recycle_requested = True
+        return self.recycle_requested
+
     def serve(self, max_slides: Optional[int] = None) -> int:
         """Process tickets until the stop file appears (or ``max_slides``
-        tickets have been handled).  Returns the number processed."""
+        tickets have been handled, or the RSS recycle bound trips — see
+        :attr:`recycle_requested`).  Returns the number processed."""
         use_waves = hasattr(self.pipe, "run_slides")
         processed = 0
         while True:
             if os.path.exists(self.stop_file):
                 print("stop file present; exiting")
+                return processed
+            # progress guarantee: a process whose BASELINE RSS already
+            # exceeds the bound must still do at least one wave, or a
+            # too-low bound would recycle forever without working
+            if processed and self._needs_recycle():
                 return processed
             pending = self.scan()
             if not pending:
@@ -319,5 +364,6 @@ class SlideServer:
                 self._emit(row)
                 processed += 1
                 if ((max_slides is not None and processed >= max_slides)
-                        or os.path.exists(self.stop_file)):
+                        or os.path.exists(self.stop_file)
+                        or self._needs_recycle()):
                     return processed

@@ -222,3 +222,67 @@ def test_serve_duplicate_patient_in_one_wave(tmp_path, reference_models_dir):
     lines = [l for l in csv.splitlines() if l.strip()]
     assert len(lines) == len(set(lines)) and lines
     assert sorted(os.listdir(spool / "done")) == ["job1.json", "job2.json"]
+
+
+def test_serve_recycle_rss_bound(tmp_path):
+    """Bounded-memory residency (round 5): when host RSS crosses the
+    bound, serve() returns early with recycle_requested so the CLI can
+    re-exec — but never before the first ticket (progress guarantee),
+    and a fresh server finishes the remainder (the restart contract)."""
+    spool = tmp_path / "spool"
+    out = tmp_path / "out"
+    os.makedirs(spool)
+    for i in range(3):
+        _drop_ticket(str(spool), f"t{i}.json", f"/s{i}.tif", f"P{i}")
+
+    # 1 MB bound: far below any python baseline, so the bound is already
+    # crossed — yet the first ticket must still process
+    server = SlideServer(_StubPipe(), str(spool), str(out),
+                         recycle_rss_mb=1)
+    n = server.serve(max_slides=3)
+    assert n >= 1 and server.recycle_requested
+    remaining = [f for f in os.listdir(spool) if f.endswith(".json")]
+    assert len(remaining) == 3 - n
+
+    # the "re-exec" chain: each crossed-bound process still makes
+    # progress, so restarting servers drain the spool
+    total = n
+    while total < 3:
+        s = SlideServer(_StubPipe(), str(spool), str(out),
+                        recycle_rss_mb=1)
+        got = s.serve(max_slides=3 - total)
+        assert got >= 1  # progress guarantee per process
+        total += got
+    assert total == 3
+    assert not [f for f in os.listdir(spool) if f.endswith(".json")]
+
+    # a generous bound never trips
+    _drop_ticket(str(spool), "t9.json", "/s9.tif", "P9")
+    server3 = SlideServer(_StubPipe(), str(spool), str(out),
+                          recycle_rss_mb=10**6)
+    assert server3.serve(max_slides=1) == 1
+    assert not server3.recycle_requested
+
+
+def test_serve_recycle_cli_wiring():
+    from glomeruli_segmentation_tpu.cli.serve import (
+        _argv_with_max_slides,
+        build_parser,
+    )
+
+    args = build_parser().parse_args([
+        "--model", "/m", "--segmentation_weights_dir", "/w",
+        "--spool_dir", "/s", "--output_dir", "/o",
+        "--recycle_rss_mb", "4096"])
+    assert args.recycle_rss_mb == 4096
+    assert build_parser().parse_args(
+        ["--model", "/m", "--segmentation_weights_dir", "/w",
+         "--spool_dir", "/s", "--output_dir", "/o"]).recycle_rss_mb is None
+
+    # bounded runs stay bounded across restarts
+    argv = ["--model", "/m", "--max_slides", "10", "--spool_dir", "/s"]
+    assert _argv_with_max_slides(argv, 7) == [
+        "--model", "/m", "--spool_dir", "/s", "--max_slides", "7"]
+    argv = ["--max_slides=10", "--spool_dir", "/s"]
+    assert _argv_with_max_slides(argv, 3) == [
+        "--spool_dir", "/s", "--max_slides", "3"]
