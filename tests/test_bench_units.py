@@ -33,7 +33,9 @@ def test_channel_health_fields():
     # only mean something on the tunnel
     h = bench_e2e.channel_health()
     assert set(h) == {"dispatch_floor_ms", "h2d_mb_per_s", "h2d_probe_mb"}
-    assert h["dispatch_floor_ms"] > 0
+    # the CPU backend's trivial round-trip rounds to 0.0 ms; on the
+    # tunnel these read ~25-40 ms / ~7-35 MB/s
+    assert h["dispatch_floor_ms"] >= 0
     assert h["h2d_mb_per_s"] > 0
 
 
