@@ -342,3 +342,44 @@ def test_overlay_reads_pyramid_level_when_available(tmp_path):
     # pyramid resampling vs nearest decimation: same image up to small
     # resample/JPEG differences
     assert np.abs(a - b).mean() < 12.0
+
+
+def test_overlay_pyramid_residual_edge_filled(tmp_path):
+    """Scanner-written ds-8 levels can be a pixel smaller than the /8
+    canvas; the uncovered bottom/right edge must fall back to level-0
+    decimation instead of staying black (round-4 advisor finding)."""
+    import cv2
+
+    h8, w8 = 64, 96
+
+    class StubSlide:
+        """Duck-typed slide whose ds-8 level is one pixel short on both
+        axes (arbitrary scanner level geometry)."""
+
+        level_downsamples = [1.0, 8.0]
+        level_dimensions = [(w8 * 8, h8 * 8), (w8 - 1, h8 - 1)]
+        properties = {}
+
+        def get_best_level_for_downsample(self, ds):
+            return 1
+
+        def read_region_array(self, location, level, size):
+            w, h = size
+            # all-white slide at every level: any black output pixel is
+            # an uncovered hole, not slide content
+            return np.full((h, w, 3), 255, np.uint8)
+
+    from glomeruli_segmentation_tpu.pipeline.e2e import FusedEndToEnd
+
+    pipe = FusedEndToEnd(BlobBackend(), segmenter=object())
+    canvas = np.zeros((h8, w8), np.uint8)  # class 0 -> black label color
+    out_dir = tmp_path / "o"
+    out_dir.mkdir()
+    pipe._write_overlay(StubSlide(), canvas, str(out_dir), "P")
+    jpg = cv2.imread(str(out_dir / "P_pred.jpg"))
+    assert jpg.shape == (h8, w8, 3)
+    # blend = 0.4*white + 0.6*black ~= 102 everywhere, INCLUDING the
+    # last row/column the pyramid level does not cover
+    assert jpg[:, -1].mean() > 60, jpg[:, -1].mean()
+    assert jpg[-1, :].mean() > 60, jpg[-1, :].mean()
+    assert abs(float(jpg[:-1, :-1].mean()) - float(jpg[-1, :].mean())) < 25
