@@ -21,9 +21,16 @@ with nothing to parse):
 - (round 5) the ~1 Gpx sustained tier appears every round as
   ``extra.sustained_1gpx`` (compact scaled probe, final superseding
   line); the direct measure stays opt-in via ``GSEG_BENCH_LARGE=1``;
-- a second, superseding line with the e2e extras follows if the wall-clock
-  budget allows (``GSEG_BENCH_BUDGET_S``, default 480 s); sub-benches that
-  would exceed the budget are skipped with explicit markers;
+- (round 5) a superseding record line is emitted after EVERY stage, and
+  the e2e scoreboard stages (detection, fused) get grace past the
+  nominal budget: on a slow-recovery tunnel the headline alone can eat
+  the budget, and since the driver parses the output tail, each
+  completed stage strictly improves the surviving record while a stage
+  cut off by the driver's axe costs nothing;
+- superseding lines with the e2e extras follow as the wall-clock budget
+  allows (``GSEG_BENCH_BUDGET_S``, default 540 s); sub-benches that
+  would exceed the budget (plus their grace) are skipped with explicit
+  markers;
 - the backend probe is bounded at 60 s (an outage fails fast, it does not
   eat the budget);
 - the expensive variants (host-resize re-measure, serial stage breakdowns,
@@ -193,10 +200,11 @@ def bench_sustained_extra(det: dict | None) -> dict:
         centers = np.load(large + ".centers.npy")
         n = bench_e2e.LARGE_REGION * bench_e2e.LARGE_GRID
         dims = (n, n)
-    # 60 s gate: the probe reuses the fused bench's warmed segmenter
-    # (bench_e2e._FUSED_CACHE) so its cost is the new shape buckets only
-    # (compile-cached across rounds) + 3 short reps
-    if _remaining() > 60:
+    # deep grace: warm, the probe costs ~15-25 s (it reuses the fused
+    # bench's segmenter, bench_e2e._FUSED_CACHE) and its line supersedes
+    # an already-flushed record — running slightly past budget risks
+    # nothing
+    if _remaining() > -120:
         try:
             return bench_e2e.bench_sustained_compact(tmp, centers,
                                                      detection=det,
@@ -206,74 +214,81 @@ def bench_sustained_extra(det: dict | None) -> dict:
     return {"skipped": "budget"}
 
 
-def bench_e2e_extra() -> dict:
-    """Whole-slide numbers (bench_e2e.py stages) folded into the bench
-    artifact: sec/slide + slides/hour vs the measured torch-CPU reference
-    denominator (bench_reference.py, BASELINE.md).
+def _stage(extra: dict, name: str, fn, min_remaining: float):
+    """Run one sub-bench and fold its skip/error markers into ``extra``.
 
-    Each sub-bench checks the remaining wall-clock budget first; a skip
-    leaves an explicit ``"skipped": "budget"`` marker instead of a blank.
-    The per-process compile-cache deserialization for the big ensemble
-    programs costs ~2-3 min on this host (CLAUDE.md), so the margins below
-    are generous."""
+    ``min_remaining``: the stage starts only when more than this much
+    budget is left — NEGATIVE values grant grace past the nominal budget
+    (the e2e scoreboard stages get deep grace: on a slow-recovery tunnel
+    the headline alone can eat the whole budget, and a stage that runs
+    past the driver's axe costs nothing because the previously flushed
+    record line still stands)."""
+    if _remaining() > min_remaining:
+        try:
+            result = fn()
+        except Exception as e:
+            result = {"error": repr(e)}
+    else:
+        result = {"skipped": "budget"}
+    if "skipped" in result:
+        extra[f"{name}_skipped"] = result["skipped"]
+    if "error" in result:
+        extra[f"{name}_error"] = result["error"]
+    extra["wall_s"] = round(time.monotonic() - _T0, 1)
+    return result
+
+
+def bench_e2e_stages(record: dict) -> dict:
+    """Whole-slide numbers (bench_e2e.py stages) folded into the bench
+    artifact incrementally: after every stage a superseding line goes to
+    stdout, so the record degrades stage-by-stage instead of all-or-
+    nothing (two measured slow-recovery runs lost ALL extras when the
+    headline ate the budget)."""
     import bench_e2e
 
     tmp, centers = _slide_fixture()
-    # each sub-bench is independently guarded: a failure in one stage
-    # must not blank the others' numbers in the driver artifact
-    if _remaining() > (120 if not FULL else 180):
-        try:
-            det = bench_e2e.bench_detection(tmp, full=FULL)
-        except Exception as e:
-            det = {"error": repr(e)}
-    else:
-        det = {"skipped": "budget"}
-    if _remaining() > (120 if not FULL else 300):
-        try:
-            seg = bench_e2e.bench_fused_segmentation(tmp, centers, full=FULL)
-        except Exception as e:
-            seg = {"error": repr(e)}
-    else:
-        seg = {"skipped": "budget"}
-    if _remaining() > 90:
-        try:
-            sf = bench_e2e.bench_segformer()
-        except Exception:
-            sf = {}
-    else:
-        sf = {"skipped": "budget"}
-    # channel health (VERDICT r4 weak 1): lets a reader distinguish
-    # "regression" from "bad tunnel minute" in the driver artifact
+    extra: dict = {}
+
+    # channel health first: cheap, and even a headline-only record then
+    # shows the tunnel state (VERDICT r4 weak 1)
     try:
-        health = bench_e2e.channel_health()
+        extra["channel_health"] = bench_e2e.channel_health()
     except Exception as e:
-        health = {"error": repr(e)}
-    extra = {
+        extra["channel_health"] = {"error": repr(e)}
+    _emit(dict(record, extra=dict(extra)))
+
+    # the scoreboard stages ALWAYS run: with lines flushed per stage,
+    # attempting them past the budget can only add to the surviving
+    # record (worst case the driver's axe falls mid-stage and the
+    # previous line stands)
+    det = _stage(extra, "detection",
+                 lambda: bench_e2e.bench_detection(tmp, full=FULL),
+                 min_remaining=-(10 ** 9))
+    extra.update({
         "detection_windows_per_sec": det.get("windows_per_sec"),
         "detection_sec_per_slide": det.get("sec_per_slide"),
         "detection_sec_stats": det.get("sec_per_slide_stats"),
+    })
+    if FULL:
+        extra["detection_breakdown"] = det.get("breakdown")
+    _emit(dict(record, extra=dict(extra)))
+
+    seg = _stage(extra, "fused",
+                 lambda: bench_e2e.bench_fused_segmentation(tmp, centers,
+                                                            full=FULL),
+                 min_remaining=-(10 ** 9))
+    extra.update({
         "fused_5fold_sec_per_slide": seg.get("sec_per_slide"),
         "fused_5fold_sec_stats": seg.get("sec_per_slide_stats"),
         "fused_5fold_crops_per_sec": seg.get("crops_per_sec"),
         "fused_engine": seg.get("engine"),
-        "segformer_crops_per_sec": sf.get("crops_per_sec"),
-        "channel_health": health,
-        "_detection_record": det,  # consumed by bench_sustained_extra
-    }
+    })
     if FULL:
-        extra["detection_breakdown"] = det.get("breakdown")
         extra["fused_breakdown"] = seg.get("breakdown")
         extra["fused_5fold_sec_per_slide_host_resize"] = seg.get(
             "sec_per_slide_host_resize")
         extra["fused_5fold_crops_per_sec_host_resize"] = seg.get(
             "crops_per_sec_host_resize")
-    for key, d in (("detection_skipped", det), ("fused_skipped", seg),
-                   ("segformer_skipped", sf)):
-        if "skipped" in d:
-            extra[key] = d["skipped"]
-    for key, d in (("detection_error", det), ("fused_error", seg)):
-        if "error" in d:
-            extra[key] = d["error"]
     if det.get("sec_per_slide") and seg.get("sec_per_slide"):
         # e2e composes detection + the faster of the two fused variants
         seg_best = min(seg["sec_per_slide"],
@@ -284,6 +299,13 @@ def bench_e2e_extra() -> dict:
         extra["e2e_slides_per_hour"] = round(3600.0 / e2e, 1)
         extra["e2e_vs_reference_cpu"] = round(
             REFERENCE_E2E_SEC_PER_SLIDE / e2e, 1)
+    _emit(dict(record, extra=dict(extra)))
+
+    sf = _stage(extra, "segformer",
+                lambda: bench_e2e.bench_segformer(), min_remaining=90)
+    extra["segformer_crops_per_sec"] = sf.get("crops_per_sec")
+    _emit(dict(record, extra=dict(extra)))
+    extra["_detection_record"] = det  # consumed by bench_sustained_extra
     return extra
 
 
@@ -329,6 +351,19 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    # liveness line BEFORE the headline: the backend's init/compile path
+    # has measured multi-minute stalls in degraded states (a headline
+    # took 1086 s on 2026-08-21 with healthy steady-state transfers) —
+    # if the driver's axe lands mid-headline, this line makes the
+    # failure diagnosable instead of leaving nothing to parse.  value 0
+    # = "no measurement yet", never a real throughput.
+    _emit({"metric": "espnet_crop_segmentation_throughput", "value": 0.0,
+           "unit": "crops/sec", "vs_baseline": 0.0,
+           "extra": {"partial": "backend probe passed; headline "
+                                "measuring — if this is the last line, "
+                                "the backend compile/init path stalled "
+                                "mid-measurement (known degraded-state "
+                                "behavior, BASELINE.md)"}})
     ours = bench_ours()
     record = {
         "metric": "espnet_crop_segmentation_throughput",
@@ -341,7 +376,7 @@ def main():
     # rc=124 with nothing emitted)
     _emit(dict(record, extra={"partial": "headline only; extras follow"}))
     try:
-        extra = bench_e2e_extra()
+        extra = bench_e2e_stages(record)
     except Exception as e:  # the headline metric must survive e2e failures
         extra = {"error": repr(e)}
     if FULL and _remaining() > 60:
